@@ -1,0 +1,262 @@
+"""Partitioned Bloom filter (+ cuckoo fallback) for the URL-seen set.
+
+The reference's seen-set is a Mongo unique index probed twice per
+discovered link (``server.py:440-449``). At 10^10 URLs the engine's
+ground truth is an anti-join against the ``enqueued`` keys table; the
+Bloom filter is a *pre-filter* that lets definite-negatives (the vast
+majority of links in steady state are new) skip the shuffle entirely.
+Zero false negatives => correctness is untouched; false positives only
+pay the anti-join they would have paid anyway.
+
+Design (north rule, BASELINE.json:6):
+
+- bits live in a numpy ``uint64`` array; membership/insert are fully
+  vectorized (double hashing: idx_i = h1 + i*h2 mod m);
+- **build is partitioned**: each Spark partition folds its ``url_hash``
+  column into a local bitmap via ``mapInPandas``; bitmaps are OR-merged
+  on the driver and broadcast (SURVEY.md §2.11). The wire cost is
+  ``m/8`` bytes per partition — for 10^10 keys a single 12 GB filter
+  is impossible, hence ``ShardedBloom``: keys shard by
+  ``pmod(url_hash, n_shards)``, each shard sized for n/n_shards keys,
+  and an executor task only faults in the shards its partition's keys
+  hash to (in local mode all shards ride one broadcast).
+- deletable entries (``cancelled`` URL re-admission) can't come out of a
+  Bloom filter — ``CuckooFilter`` (bucketized cuckoo hashing, 2 buckets
+  x 4 slots, 16-bit fingerprints) is the drop-in with ``delete``.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _as_u64(h: pd.Series | np.ndarray) -> np.ndarray:
+    a = np.asarray(h, dtype=np.int64)
+    return a.view(np.uint64)
+
+
+class NumpyBloom:
+    """Vectorized Bloom filter over pre-hashed 64-bit keys."""
+
+    def __init__(self, n_bits: int, n_hashes: int):
+        # power-of-two bit count => mask instead of modulo
+        self.n_bits = 1 << max(6, int(math.ceil(math.log2(max(n_bits, 64)))))
+        self.k = n_hashes
+        self.words = np.zeros(self.n_bits // 64, dtype=np.uint64)
+
+    @classmethod
+    def sized(cls, expected_n: int, fpp: float = 0.01) -> "NumpyBloom":
+        n_bits = max(64, int(-expected_n * math.log(fpp) / (math.log(2) ** 2)))
+        k = max(1, round(math.log(2) * n_bits / max(expected_n, 1)))
+        return cls(n_bits, k)
+
+    def _indices(self, h: np.ndarray) -> np.ndarray:
+        h1 = h
+        h2 = (h * _GOLDEN) | np.uint64(1)
+        ks = np.arange(self.k, dtype=np.uint64)[:, None]
+        mask = np.uint64(self.n_bits - 1)
+        return (h1[None, :] + ks * h2[None, :]) & mask  # (k, n)
+
+    def add(self, h) -> None:
+        idx = self._indices(_as_u64(h)).ravel()
+        np.bitwise_or.at(self.words, (idx >> np.uint64(6)).astype(np.int64), np.uint64(1) << (idx & np.uint64(63)))
+
+    def contains(self, h) -> np.ndarray:
+        u = _as_u64(h)
+        idx = self._indices(u)
+        word = self.words[(idx >> np.uint64(6)).astype(np.int64)]
+        bit = (word >> (idx & np.uint64(63))) & np.uint64(1)
+        return bit.all(axis=0).astype(bool)
+
+    def merge(self, other: "NumpyBloom") -> "NumpyBloom":
+        assert self.n_bits == other.n_bits and self.k == other.k
+        self.words |= other.words
+        return self
+
+    def to_bytes(self) -> bytes:
+        return self.words.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes, n_bits: int, k: int) -> "NumpyBloom":
+        bf = cls(n_bits, k)
+        bf.words = np.frombuffer(data, dtype=np.uint64).copy()
+        return bf
+
+
+def build_bloom(df: DataFrame, hash_col: str = "url_hash", expected_n: int | None = None, fpp: float = 0.01) -> NumpyBloom:
+    """Partitioned build: per-partition bitmaps via mapInPandas, OR-merge on
+    the driver. One narrow pass over the table, no shuffle."""
+    if expected_n is None:
+        expected_n = df.count()
+    proto = NumpyBloom.sized(max(expected_n, 1024), fpp)
+    n_bits, k = proto.n_bits, proto.k
+
+    def per_partition(it):
+        bf = NumpyBloom(n_bits, k)
+        any_rows = False
+        for pdf in it:
+            if len(pdf):
+                any_rows = True
+                bf.add(pdf[hash_col])
+        if any_rows:
+            yield pd.DataFrame({"bloom": [bf.to_bytes()]})
+
+    parts = df.select(hash_col).mapInPandas(per_partition, "bloom binary").collect()
+    out = NumpyBloom(n_bits, k)
+    for row in parts:
+        out.merge(NumpyBloom.from_bytes(row["bloom"], n_bits, k))
+    return out
+
+
+def add_df_to_bloom(bloom: NumpyBloom, df: DataFrame, hash_col: str = "url_hash") -> NumpyBloom:
+    """Fold a DataFrame's hashes into an existing filter *distributedly*:
+    per-partition bitmaps at the same (n_bits, k), OR-merged on the
+    driver — never collects raw keys (the 10^10-safe incremental path)."""
+    n_bits, k = bloom.n_bits, bloom.k
+
+    def per_partition(it):
+        part = NumpyBloom(n_bits, k)
+        any_rows = False
+        for pdf in it:
+            if len(pdf):
+                any_rows = True
+                part.add(pdf[hash_col])
+        if any_rows:
+            yield pd.DataFrame({"bloom": [part.to_bytes()]})
+
+    for row in df.select(hash_col).mapInPandas(per_partition, "bloom binary").collect():
+        bloom.merge(NumpyBloom.from_bytes(row["bloom"], n_bits, k))
+    return bloom
+
+
+def bloom_maybe_contains_udf(spark, bloom: NumpyBloom):
+    """Broadcast the bitmap once; return a vectorized membership pandas UDF."""
+    bc = spark.sparkContext.broadcast((bloom.to_bytes(), bloom.n_bits, bloom.k))
+
+    @F.pandas_udf("boolean")
+    def _maybe(h: pd.Series) -> pd.Series:
+        data, n_bits, k = bc.value
+        bf = NumpyBloom.from_bytes(data, n_bits, k)
+        return pd.Series(bf.contains(h))
+
+    return _maybe
+
+
+class ShardedBloom:
+    """Bloom bits sharded by ``pmod(hash, n_shards)`` — the 10^10 design.
+
+    Each shard is an independent NumpyBloom sized for n/n_shards keys, so
+    no single broadcast exceeds executor memory; on a real cluster shards
+    are distributed via a keyed table and each task loads only the shards
+    its partition addresses (shard id == pmod of the shuffle key => one
+    shard per task). Local mode carries all shards in one broadcast.
+    """
+
+    def __init__(self, n_shards: int, expected_n: int, fpp: float = 0.01):
+        self.n_shards = n_shards
+        per = max(1024, expected_n // n_shards)
+        self.shards = [NumpyBloom.sized(per, fpp) for _ in range(n_shards)]
+
+    def _shard_of(self, u: np.ndarray) -> np.ndarray:
+        return (u % np.uint64(self.n_shards)).astype(np.int64)
+
+    def add(self, h) -> None:
+        u = _as_u64(h)
+        sid = self._shard_of(u)
+        for s in np.unique(sid):
+            self.shards[int(s)].add(u[sid == s].view(np.int64))
+
+    def contains(self, h) -> np.ndarray:
+        u = _as_u64(h)
+        sid = self._shard_of(u)
+        out = np.zeros(len(u), dtype=bool)
+        for s in np.unique(sid):
+            m = sid == s
+            out[m] = self.shards[int(s)].contains(u[m].view(np.int64))
+        return out
+
+
+class CuckooFilter:
+    """Bucketized cuckoo filter with deletion (4-slot buckets, 16-bit fp).
+
+    Used where Bloom can't go: the ``cancelled -> re-admissible`` path
+    (app.py:611-633 stop-crawl analog) needs membership *removal*.
+    Pure numpy; vectorized lookups, per-key kickout loop on insert.
+    """
+
+    SLOTS = 4
+    MAX_KICKS = 500
+
+    def __init__(self, capacity: int):
+        n_buckets = 1 << max(4, int(math.ceil(math.log2(max(capacity, 16) / self.SLOTS / 0.84))))
+        self.n_buckets = n_buckets
+        self.table = np.zeros((n_buckets, self.SLOTS), dtype=np.uint16)  # 0 = empty
+
+    def _fp(self, u: np.ndarray) -> np.ndarray:
+        fp = ((u >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
+        fp[fp == 0] = 1
+        return fp
+
+    def _i1(self, u: np.ndarray) -> np.ndarray:
+        return (u & np.uint64(self.n_buckets - 1)).astype(np.int64)
+
+    def _i2(self, i1: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        fh = fp.astype(np.uint64) * _GOLDEN
+        return ((i1.astype(np.uint64) ^ fh) & np.uint64(self.n_buckets - 1)).astype(np.int64)
+
+    def insert(self, h) -> bool:
+        u = _as_u64(h)
+        fps, i1s = self._fp(u), self._i1(u)
+        i2s = self._i2(i1s, fps)
+        ok = True
+        rng = np.random.RandomState(0xC0FFEE)
+        for fp, i1, i2 in zip(fps, i1s, i2s):
+            if not self._insert_one(int(fp), int(i1), int(i2), rng):
+                ok = False
+        return ok
+
+    def _insert_one(self, fp: int, i1: int, i2: int, rng) -> bool:
+        for i in (i1, i2):
+            empt = np.where(self.table[i] == 0)[0]
+            if len(empt):
+                self.table[i, empt[0]] = fp
+                return True
+        i = i1 if rng.rand() < 0.5 else i2
+        for _ in range(self.MAX_KICKS):
+            s = rng.randint(self.SLOTS)
+            fp, self.table[i, s] = int(self.table[i, s]), fp
+            i = int(self._i2(np.array([i]), np.array([fp], dtype=np.uint16))[0])
+            empt = np.where(self.table[i] == 0)[0]
+            if len(empt):
+                self.table[i, empt[0]] = fp
+                return True
+        return False
+
+    def contains(self, h) -> np.ndarray:
+        u = _as_u64(h)
+        fps, i1s = self._fp(u), self._i1(u)
+        i2s = self._i2(i1s, fps)
+        in1 = (self.table[i1s] == fps[:, None]).any(axis=1)
+        in2 = (self.table[i2s] == fps[:, None]).any(axis=1)
+        return in1 | in2
+
+    def delete(self, h) -> np.ndarray:
+        u = _as_u64(h)
+        fps, i1s = self._fp(u), self._i1(u)
+        i2s = self._i2(i1s, fps)
+        removed = np.zeros(len(u), dtype=bool)
+        for j, (fp, i1, i2) in enumerate(zip(fps, i1s, i2s)):
+            for i in (int(i1), int(i2)):
+                slot = np.where(self.table[i] == fp)[0]
+                if len(slot):
+                    self.table[i, slot[0]] = 0
+                    removed[j] = True
+                    break
+        return removed

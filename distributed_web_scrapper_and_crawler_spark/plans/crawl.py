@@ -1,0 +1,148 @@
+"""Crawl driver loop: seed -> rounds until drained -> checkpointed state.
+
+``while pending > 0: run_round()`` replaces the reference's
+worker pull loops + heartbeat threads (SURVEY.md §3.1). Between
+checkpoint writes, state lineage is truncated with ``localCheckpoint``
+so iterative unions don't stack into an ever-deeper plan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from distributed_web_scrapper_and_crawler_spark.config import CrawlConfig
+from distributed_web_scrapper_and_crawler_spark.functions.canonicalize import (
+    allowed_domain_filter,
+    canonicalize_udf,
+)
+from distributed_web_scrapper_and_crawler_spark.operators.bloom import NumpyBloom, add_df_to_bloom
+from distributed_web_scrapper_and_crawler_spark.plans.checkpoint import CheckpointStore
+from distributed_web_scrapper_and_crawler_spark.plans.round import run_round
+from distributed_web_scrapper_and_crawler_spark.plans.state import CrawlState, empty_state
+
+
+@dataclass
+class CrawlEngine:
+    spark: SparkSession
+    corpus: DataFrame
+    cfg: CrawlConfig
+    ckpt_dir: str | None = None
+    checkpoint_every: int = 1  # rounds between durable snapshots
+    bloom_capacity: int = 1 << 20
+    robots: DataFrame | None = None
+    state: CrawlState | None = None
+    bloom: NumpyBloom | None = None
+    round_stats: list[dict] = field(default_factory=list)
+
+    def __post_init__(self):
+        self.store = (
+            CheckpointStore(self.spark, self.ckpt_dir) if self.ckpt_dir else None
+        )
+        if self.cfg.use_bloom:
+            self.bloom = NumpyBloom.sized(self.bloom_capacity, self.cfg.bloom_fpp)
+
+    # -- seeding (scheduler.py:62-117 / seed_urls.py:32-94) ---------------
+    def seed(self, urls: list[str]) -> CrawlState:
+        """Insert seeds at depth 0 iff allowed ∧ not already queued; seq =
+        input order (the deterministic stand-in for time.time() at
+        scheduler.py:82)."""
+        state = empty_state(self.spark, self.cfg.field_names())
+        seeds = self.spark.createDataFrame(
+            [(u, i) for i, u in enumerate(urls)], "raw_url string, input_order long"
+        )
+        canon = canonicalize_udf(parity=self.cfg.parity_mode)
+        seeds = seeds.withColumn("_c", canon("raw_url")).select(
+            "input_order", F.col("_c.url").alias("url"), F.col("_c.host").alias("host")
+        )
+        seeds = seeds.filter(allowed_domain_filter(F.col("host"), self.cfg.allowed_domains))
+        w = Window.partitionBy("url").orderBy("input_order")
+        seeds = seeds.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+        # seed count is tiny; a plain global window for seq is fine here
+        seeds = seeds.withColumn("seq", F.row_number().over(Window.orderBy("input_order")) - 1)
+        pending = seeds.select(
+            "url",
+            F.xxhash64("url").alias("url_hash"),
+            "host",
+            F.lit(0).alias("depth"),
+            F.lit(0).alias("discovered_round"),
+            F.col("seq").cast("long"),
+            F.lit("seed").alias("added_by"),
+        ).localCheckpoint()
+        n = pending.count()
+        state = state.evolve(
+            pending=pending, enqueued=pending.select("url", "url_hash"), max_seq=n, round=-1
+        )
+        if self.bloom is not None and n:
+            add_df_to_bloom(self.bloom, pending, "url_hash")
+        if self.store is not None:
+            # commit the seeded state as round -1: the seeds' enqueued-set
+            # membership must survive a restart or they would be re-crawled
+            # when a page links back to a seed (the "any status" queue
+            # check, server.py:440-443)
+            self.store.write_round(state, {"enqueued": state.enqueued})
+        self.state = state
+        return state
+
+    def resume(self) -> CrawlState:
+        """Reload the latest committed snapshot; rebuild the Bloom filter
+        from the ``enqueued`` ground truth (filters are derived state —
+        never checkpointed, never trusted across restarts)."""
+        assert self.store is not None, "resume requires ckpt_dir"
+        self.state = self.store.load_state(self.cfg.field_names())
+        if self.cfg.use_bloom:
+            self.bloom = NumpyBloom.sized(max(self.bloom_capacity, 1024), self.cfg.bloom_fpp)
+            add_df_to_bloom(self.bloom, self.state.enqueued, "url_hash")
+        return self.state
+
+    # -- the loop ---------------------------------------------------------
+    def run(self, max_rounds: int | None = None, collect_partition_metrics: bool = False) -> CrawlState:
+        assert self.state is not None, "call seed() or resume() first"
+        rounds_done = 0
+        while max_rounds is None or rounds_done < max_rounds:
+            res = run_round(
+                self.spark,
+                self.state,
+                self.corpus,
+                self.cfg,
+                bloom=self.bloom,
+                robots=self.robots,
+                collect_partition_metrics=collect_partition_metrics,
+            )
+            if res.drained:
+                break
+            self.round_stats.append(res.stats)
+            self._materialize(res)
+            rounds_done += 1
+        return self.state
+
+    def _materialize(self, res) -> None:
+        """Truncate lineage each round: durable parquet snapshot on
+        checkpoint rounds (resumable), localCheckpoint otherwise."""
+        durable = self.store is not None and (res.state.round % self.checkpoint_every == 0)
+        if durable:
+            self.store.write_round(res.state, res.deltas)
+            self.state = self.store.load_state(self.cfg.field_names(), rnd=res.state.round)
+        else:
+            self.state = res.state.evolve(
+                pending=res.state.pending.localCheckpoint(),
+                done=res.state.done.localCheckpoint(),
+                seen=res.state.seen.localCheckpoint(),
+                enqueued=res.state.enqueued.localCheckpoint(),
+                pages=res.state.pages.localCheckpoint(),
+                metrics=res.state.metrics.localCheckpoint(),
+            )
+        for c in res.caches:
+            c.unpersist()
+
+    # -- observability ----------------------------------------------------
+    def claim_order(self) -> list[str]:
+        """Reconstruct the global claim sequence from the done table —
+        the engine analog of the oracle's claim_order."""
+        assert self.state is not None
+        rows = self.state.done.filter(F.col("status").isin("completed", "failed")).orderBy(
+            "completed_round", "seq"
+        )
+        return [r["url"] for r in rows.select("url").collect()]

@@ -1,0 +1,66 @@
+"""Claim scheduling + politeness — the reference's dispatcher, batched.
+
+Reference semantics: ``get_next_url`` atomically claims the single
+oldest pending URL (``server.py:416-434``, sort on timestamp => global
+FIFO by discovery). Its ``rate_limit`` / ``max_depth`` config knobs are
+declared but never enforced (``config.yaml:4-5``, zero code refs), and
+robots.txt is absent entirely — so parity mode is plain FIFO.
+
+Engine modes:
+
+- **parity**: claim = lowest-``seq`` ``round_budget`` pending URLs.
+  Because every URL's discovery seq is strictly greater than its
+  parent's claim seq, batched lowest-seq claims reproduce the serial
+  FIFO claim order exactly (proof sketch in SURVEY.md §3.3; asserted by
+  tests/test_crawl_parity.py at several budgets).
+- **production**: window-ranked per-host batches —
+  ``row_number() OVER (PARTITION BY host ORDER BY depth, seq) <= per_host_budget``
+  (the north rule's priority queue), plus robots prefix rules and a
+  depth cap. Claim order then guarantees per-host FIFO, not global.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from distributed_web_scrapper_and_crawler_spark.config import CrawlConfig
+
+
+def claim_batch(pending: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    if cfg.parity_mode:
+        # TakeOrderedAndProject — no single-partition window even at scale
+        return pending.orderBy("seq").limit(cfg.round_budget)
+    w = Window.partitionBy("host").orderBy("depth", "seq")
+    return (
+        pending.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cfg.per_host_budget)
+        .drop("_rk")
+    )
+
+
+ROBOTS_SCHEMA = "host string, disallow_prefixes array<string>, crawl_delay_s double"
+
+
+def apply_robots(links: DataFrame, robots: DataFrame) -> DataFrame:
+    """Reject links whose path matches a disallow prefix for their host.
+
+    New capability (absent in the reference — SURVEY.md §2.5); robots is
+    a small rules table => broadcast left join, default allow. Pure
+    Catalyst: ``exists(prefixes, p -> startswith(path, p))``.
+    """
+    r = robots.select("host", "disallow_prefixes")
+    joined = links.join(F.broadcast(r), "host", "left")
+    blocked = F.when(
+        F.col("disallow_prefixes").isNotNull(),
+        F.exists("disallow_prefixes", lambda p: F.col("path").startswith(p)),
+    ).otherwise(F.lit(False))
+    return joined.filter(~blocked).drop("disallow_prefixes")
+
+
+def cancel_pending(pending: DataFrame, done: DataFrame, rnd: int) -> tuple[DataFrame, DataFrame]:
+    """Stop-crawl: bulk pending -> cancelled (app.py:611-633)."""
+    cancelled = (
+        pending.withColumn("status", F.lit("cancelled")).withColumn("completed_round", F.lit(rnd))
+    )
+    return pending.limit(0), done.unionByName(cancelled)

@@ -1,0 +1,220 @@
+"""One scheduling round — the engine's replacement for the reference's
+entire worker/server/broker control plane (SURVEY.md §3.1 Spark trace).
+
+A round turns steps 1-7 of the reference's per-URL loop into ONE
+declarative plan over a whole batch::
+
+    pending --window/limit--> claim --inner join corpus--> fetched
+      fetched --Arrow UDFs--> pages + exploded links
+      links --canonicalize/allow/dedup--> candidates
+      candidates --bloom prefilter + anti-join enqueued--> new frontier rows
+      state' = (pending - claim + new, done + claim, seen + fetched, ...)
+
+Every boundary that was a socket / broker hop / Mongo round-trip in the
+reference (server.py:378-414, distributed_crawler.py:282-291) is a
+shuffle or a broadcast here, planned by Catalyst + AQE.
+
+Scale notes (the 100 TB design points):
+- claim⋈corpus: claim is usually the small side early on => AQE picks
+  broadcast; at steady state both sides are large — on a real cluster
+  the corpus is bucketed by ``url`` so this is a shuffle-free bucket
+  join (local-mode parquet can't bucket; documented, not faked).
+- dedup anti-join: the Bloom prefilter removes the definite-negatives
+  (~all links in steady state) from the shuffle; only the maybe-dup
+  residue joins against ``enqueued``.
+- intra-batch dedup window partitions by (url_hash, url) — same key as
+  the anti-join, so the exchange is reused, and hot-host skew lands on
+  AQE's skew-join handling (hash keys spread hot *hosts* anyway).
+- no ``collect()`` anywhere in the data path; the only driver traffic
+  is bucket counts (tiny) and per-partition bloom bitmaps.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from distributed_web_scrapper_and_crawler_spark.config import CrawlConfig
+from distributed_web_scrapper_and_crawler_spark.functions.canonicalize import (
+    allowed_domain_filter,
+    canonicalize_udf,
+)
+from distributed_web_scrapper_and_crawler_spark.operators.bloom import (
+    NumpyBloom,
+    add_df_to_bloom,
+    bloom_maybe_contains_udf,
+)
+from distributed_web_scrapper_and_crawler_spark.operators.extract import (
+    extract_fields_udf,
+    extract_links_udf,
+    spans_sorted,
+)
+from distributed_web_scrapper_and_crawler_spark.plans.politeness import apply_robots, claim_batch
+from distributed_web_scrapper_and_crawler_spark.plans.seq import assign_global_seq
+from distributed_web_scrapper_and_crawler_spark.plans.state import METRICS_SCHEMA, CrawlState
+
+FRONTIER_COLS = ["url", "url_hash", "host", "depth", "discovered_round", "seq", "added_by"]
+
+
+@dataclass
+class RoundResult:
+    state: CrawlState
+    deltas: dict[str, DataFrame]
+    stats: dict
+    drained: bool  # True when no pending URL was claimable
+    caches: tuple[DataFrame, ...] = ()  # to unpersist once state is materialized
+
+
+def run_round(
+    spark: SparkSession,
+    state: CrawlState,
+    corpus: DataFrame,
+    cfg: CrawlConfig,
+    bloom: NumpyBloom | None = None,
+    robots: DataFrame | None = None,
+    collect_partition_metrics: bool = False,
+) -> RoundResult:
+    rnd = state.round + 1
+    t0 = time.monotonic()
+
+    claim = claim_batch(state.pending, cfg).cache()
+    n_claimed = claim.count()
+    if n_claimed == 0:
+        claim.unpersist()
+        return RoundResult(state, {}, {"round": rnd, "urls_claimed": 0}, drained=True)
+
+    rest_pending = state.pending.join(claim.select("url_hash", "url"), ["url_hash", "url"], "left_anti")
+
+    # -- fetch: join the claimed batch against the corpus (the "network") --
+    corpus_keyed = corpus.withColumnRenamed("doc_id", "url")
+    fetched = claim.join(corpus_keyed, "url", "inner").cache()
+    failed = claim.join(fetched.select("url_hash", "url"), ["url_hash", "url"], "left_anti")
+
+    # -- pages: field extraction + ordered span sequence -------------------
+    fields = extract_fields_udf(cfg.extraction_rules)
+    pages_delta = fetched.select(
+        fields("spans").alias("_f"),
+        "url",
+        "depth",
+        F.lit(rnd).alias("round"),
+        spans_sorted(F.col("spans")).alias("spans"),
+    ).select("_f.*", "url", "depth", "round", "spans")
+
+    # -- link extraction (the table-generating function, SURVEY.md §2.3) --
+    links_raw = fetched.select(
+        F.col("seq").alias("parent_seq"),
+        F.col("depth").alias("parent_depth"),
+        F.explode(extract_links_udf()(F.col("url"), F.col("spans"))).alias("_l"),
+    ).select(
+        "parent_seq",
+        (F.col("parent_depth") + F.col("_l.depth_delta")).cast("int").alias("depth"),
+        F.col("_l.url").alias("raw_url"),
+        F.col("_l.pos").alias("pos"),
+    )
+    canon = canonicalize_udf(parity=cfg.parity_mode)
+    links = links_raw.withColumn("_c", canon("raw_url")).select(
+        "parent_seq",
+        "depth",
+        "pos",
+        F.col("_c.url").alias("url"),
+        F.col("_c.host").alias("host"),
+        F.col("_c.path").alias("path"),
+    )
+    # allow-filter on netloc substring — identical pre/post normalization
+    # because normalize preserves netloc (distributed_crawler.py:67-78)
+    links = links.filter(allowed_domain_filter(F.col("host"), cfg.allowed_domains))
+    if cfg.enforce_max_depth:
+        links = links.filter(F.col("depth") <= cfg.max_depth)
+    if cfg.enforce_robots and robots is not None:
+        links = apply_robots(links, robots)
+    links = links.drop("path").withColumn("url_hash", F.xxhash64("url")).cache()
+    n_links = links.count()
+
+    # -- intra-batch dedup: first discovery wins (SURVEY.md §2.4) ----------
+    w = Window.partitionBy("url_hash", "url").orderBy("parent_seq", "pos")
+    unique_links = links.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+    # -- cross-round dedup: bloom prefilter + ground-truth anti-join -------
+    if bloom is not None and cfg.use_bloom:
+        maybe = bloom_maybe_contains_udf(spark, bloom)
+        flagged = unique_links.withColumn("_maybe", maybe("url_hash"))
+        definite_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
+        residue = (
+            flagged.filter(F.col("_maybe"))
+            .drop("_maybe")
+            .join(state.enqueued, ["url_hash", "url"], "left_anti")
+        )
+        new_links = definite_new.unionByName(residue)
+    else:
+        new_links = unique_links.join(state.enqueued, ["url_hash", "url"], "left_anti")
+
+    # -- dense discovery seq (deterministic ordering backbone) -------------
+    new_links, n_new = assign_global_seq(new_links, start=state.max_seq)
+    new_links = new_links.cache()
+
+    pending_delta = new_links.select(
+        "url",
+        "url_hash",
+        "host",
+        "depth",
+        F.lit(rnd).alias("discovered_round"),
+        "seq",
+        F.lit(f"round:{rnd}").alias("added_by"),
+    )
+
+    done_delta = (
+        fetched.select(*FRONTIER_COLS)
+        .withColumn("status", F.lit("completed"))
+        .withColumn("completed_round", F.lit(rnd))
+        .unionByName(
+            failed.select(*FRONTIER_COLS)
+            .withColumn("status", F.lit("failed"))
+            .withColumn("completed_round", F.lit(rnd))
+        )
+    )
+    seen_delta = fetched.select("url", "url_hash", F.lit(rnd).alias("round"))
+    enqueued_delta = pending_delta.select("url", "url_hash")
+
+    if bloom is not None and cfg.use_bloom and n_new:
+        add_df_to_bloom(bloom, new_links, "url_hash")
+
+    wall_ms = int((time.monotonic() - t0) * 1000)
+    n_fetched = fetched.count()
+    stats = {
+        "round": rnd,
+        "urls_claimed": n_claimed,
+        "urls_fetched": n_fetched,
+        "links_found": n_links,
+        "links_new": n_new,
+        "dedup_hits": n_links - n_new,
+        "wall_ms": wall_ms,
+    }
+    metric_rows = [(rnd, -1, n_claimed, n_fetched, n_links, n_new, n_links - n_new, wall_ms)]
+    if collect_partition_metrics:
+        per_part = (
+            new_links.groupBy(F.spark_partition_id().alias("pid")).agg(F.count(F.lit(1)).alias("n")).collect()
+        )
+        metric_rows += [(rnd, int(r["pid"]), 0, 0, 0, int(r["n"]), 0, 0) for r in per_part]
+    metrics_delta = spark.createDataFrame(metric_rows, METRICS_SCHEMA)
+
+    new_state = state.evolve(
+        pending=rest_pending.unionByName(pending_delta),
+        done=state.done.unionByName(done_delta),
+        seen=state.seen.unionByName(seen_delta),
+        enqueued=state.enqueued.unionByName(enqueued_delta),
+        pages=state.pages.unionByName(pages_delta),
+        metrics=state.metrics.unionByName(metrics_delta),
+        max_seq=state.max_seq + n_new,
+        round=rnd,
+    )
+    deltas = {
+        "done": done_delta,
+        "seen": seen_delta,
+        "enqueued": enqueued_delta,
+        "pages": pages_delta,
+        "metrics": metrics_delta,
+    }
+    return RoundResult(new_state, deltas, stats, drained=False, caches=(claim, fetched, links, new_links))
