@@ -1,0 +1,446 @@
+"""The analytics surface: every dashboard/API query of the reference
+(SURVEY.md §2.6-2.7, §3.4) plus the training-data pipeline operators,
+each as a (spark, sf_dir) -> DataFrame callable with a DuckDB-equivalent
+oracle SQL string.
+
+Contract rules (driver compares row-count + schema + order-insensitive
+value hash at sf0.01):
+- every computed column is aliased identically in Spark and SQL;
+- doubles are rounded (4 dp default) on BOTH sides — sum order across
+  engines differs in the last ulp;
+- timestamps are emitted as formatted strings (Spark session TZ is UTC);
+- counts are BIGINT on both sides (DuckDB sum(int) is HUGEINT => cast).
+
+Reference parity notes are cited per query; crawl-engine queries that
+aren't SQL-expressible carry ``sql=None`` (driver does rows-only checks).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from distributed_web_scrapper_and_crawler_spark.functions.text import (
+    doc_fingerprint,
+    doc_fingerprint_sql,
+    lang_hits,
+    lang_hits_sql,
+    md5_long_sql,
+    tokens_bpe,
+    tokens_ws,
+)
+from distributed_web_scrapper_and_crawler_spark.operators import ann, dedup
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # DuckDB oracle; None => rows-only check
+    doc: str = ""
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+QUERY_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def q(name: str, sql: str | None, doc: str = ""):
+    def deco(fn):
+        QUERY_REGISTRY[name] = QuerySpec(fn=fn, sql=sql, doc=doc)
+        return fn
+
+    return deco
+
+
+# =====================================================================
+# §1 Core reference analytics (dashboard/API parity)
+# =====================================================================
+
+
+@q(
+    "stats_endpoint",
+    """SELECT count(*) AS n_docs,
+              count(DISTINCT source) AS n_sources,
+              round(avg(n_chars), 4) AS avg_chars
+       FROM documents""",
+    doc="/stats endpoint: count + distinct domains + $avg (api.py:27-42)",
+)
+def stats_endpoint(spark, sf_dir):
+    return t(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+@q(
+    "status_counts",
+    """SELECT event_type, count(*) AS n
+       FROM events GROUP BY event_type ORDER BY event_type""",
+    doc="queue-status counts as ONE hash-agg, not 5 scans (app.py:331-348)",
+)
+def status_counts(spark, sf_dir):
+    return t(spark, sf_dir, "events").groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).orderBy("event_type")
+
+
+@q(
+    "per_worker_counts",
+    """SELECT user_id, count(*) AS n FROM events
+       GROUP BY user_id ORDER BY n DESC, user_id LIMIT 20""",
+    doc="per-worker page counts (app.py:322-325)",
+)
+def per_worker_counts(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+@q(
+    "price_stats",
+    """SELECT round(avg(l_extendedprice), 4) AS avg_price,
+              round(min(l_extendedprice), 4) AS min_price,
+              round(max(l_extendedprice), 4) AS max_price
+       FROM lineitem""",
+    doc="dashboard price mean/min/max (app.py:751-758)",
+)
+def price_stats(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.min("l_extendedprice"), 4).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 4).alias("max_price"),
+    )
+
+
+@q(
+    "price_histogram",
+    """SELECT CAST(floor(l_extendedprice / 1000) AS BIGINT) AS bucket, count(*) AS n
+       FROM lineitem GROUP BY 1 ORDER BY bucket""",
+    doc="price histogram (app.py:763)",
+)
+def price_histogram(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(F.floor(F.col("l_extendedprice") / 1000).cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )
+
+
+@q(
+    "category_histogram",
+    """SELECT o_orderpriority, count(*) AS n FROM orders
+       GROUP BY o_orderpriority ORDER BY n DESC, o_orderpriority""",
+    doc="category value_counts (app.py:767)",
+)
+def category_histogram(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("o_orderpriority"))
+    )
+
+
+@q(
+    "recent_activity",
+    """SELECT * FROM (
+         (SELECT 'click' AS kind, event_id AS item_id,
+                 strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+          FROM events WHERE event_type = 'click'
+          ORDER BY ts DESC, event_id LIMIT 10)
+         UNION ALL
+         (SELECT 'purchase' AS kind, event_id AS item_id,
+                 strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+          FROM events WHERE event_type = 'purchase'
+          ORDER BY ts DESC, event_id LIMIT 10)
+       ) ORDER BY ts_str DESC, item_id LIMIT 20""",
+    doc="recent-activity feed: two top-10s merged, re-sorted, top-20 (app.py:350-388)",
+)
+def recent_activity(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+
+    def top10(kind):
+        return (
+            ev.filter(F.col("event_type") == kind)
+            .orderBy(F.desc("ts"), F.asc("event_id"))
+            .limit(10)
+            .select(
+                F.lit(kind).alias("kind"),
+                F.col("event_id").alias("item_id"),
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+            )
+        )
+
+    return top10("click").unionByName(top10("purchase")).orderBy(F.desc("ts_str"), F.asc("item_id")).limit(20)
+
+
+@q(
+    "pending_preview",
+    """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date
+       FROM orders WHERE o_orderstatus = 'O'
+       ORDER BY o_orderdate, o_orderkey LIMIT 5""",
+    doc="pending-queue preview: oldest 5 (app.py:671)",
+)
+def pending_preview(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(5)
+        .select("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"))
+    )
+
+
+@q(
+    "text_search",
+    """SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '\\bspark\\b')) AS BIGINT) AS score
+       FROM documents
+       WHERE len(regexp_extract_all(lower(text), '\\bspark\\b')) > 0
+       ORDER BY score DESC, doc_id LIMIT 10""",
+    doc="text-search top-k by term frequency (api.py:44-62; Mongo textScore is opaque — documented weaker contract, SURVEY.md §2.7)",
+)
+def text_search(spark, sf_dir):
+    score = F.size(F.expr("regexp_extract_all(lower(text), '\\\\bspark\\\\b', 0)")).cast("long")
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", score.alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+@q(
+    "price_range_filter",
+    """SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS revenue
+       FROM lineitem WHERE l_extendedprice BETWEEN 1000 AND 5000""",
+    doc="dashboard price-range filter (app.py:715-722)",
+)
+def price_range_filter(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_extendedprice").between(1000, 5000))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("revenue"))
+    )
+
+
+@q(
+    "price_clean",
+    """SELECT round(avg(CAST(regexp_replace(dirty, '[^0-9]', '', 'g') AS DOUBLE) / 100), 4) AS avg_price
+       FROM (SELECT concat('$', CAST(CAST(floor(l_extendedprice * 100) AS BIGINT) AS VARCHAR), ' USD') AS dirty
+             FROM lineitem)""",
+    doc="price-clean projection: strip currency chars, cast (app.py:110-122)",
+)
+def price_clean(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    dirty = F.concat(
+        F.lit("$"), F.floor(F.col("l_extendedprice") * 100).cast("long").cast("string"), F.lit(" USD")
+    )
+    clean = F.regexp_replace(dirty, "[^0-9]", "").cast("double") / 100
+    return li.agg(F.round(F.avg(clean), 4).alias("avg_price"))
+
+
+@q(
+    "events_per_day",
+    """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+              round(sum(value), 2) AS total_value
+       FROM events GROUP BY 1 ORDER BY day""",
+    doc="epoch->datetime projection + daily rollup (app.py:150-151)",
+)
+def events_per_day(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("day")
+    )
+
+
+@q(
+    "flagship_q1",
+    """SELECT l_returnflag, l_linestatus,
+              round(sum(l_quantity), 2) AS sum_qty,
+              round(sum(l_extendedprice), 2) AS sum_base_price,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+              round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+              round(avg(l_quantity), 4) AS avg_qty,
+              round(avg(l_extendedprice), 4) AS avg_price,
+              round(avg(l_discount), 4) AS avg_disc,
+              count(*) AS count_order
+       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus""",
+    doc="flagship: TPC-H Q1-style pricing summary (partial agg map-side, one shuffle)",
+)
+def flagship_q1(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@q(
+    "topk_per_group",
+    """SELECT o_orderpriority, o_orderkey, o_totalprice, rk FROM (
+         SELECT o_orderpriority, o_orderkey, o_totalprice,
+                CAST(row_number() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+         FROM orders)
+       WHERE rk <= 3 ORDER BY o_orderpriority, rk""",
+    doc="top-k per group via window rank (the claim-scheduler pattern on plain tables)",
+)
+def topk_per_group(spark, sf_dir):
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        t(spark, sf_dir, "orders")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rk")
+        .orderBy("o_orderpriority", "rk")
+    )
+
+
+@q(
+    "revenue_by_nation",
+    """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+       FROM orders JOIN customer ON o_custkey = c_custkey
+                   JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY n_name ORDER BY n_name""",
+    doc="join+agg: broadcast the dims (nation ~25 rows), shuffle only on n_name",
+)
+def revenue_by_nation(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("n_name")
+    )
+
+
+@q(
+    "customers_without_orders",
+    """SELECT c_mktsegment, count(*) AS n FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                         AND o.o_orderdate >= TIMESTAMP '1998-01-01')
+       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    doc="anti-join (the frontier dedup primitive) on plain tables",
+)
+def customers_without_orders(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "1998-01-01")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        c.join(o, "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@q(
+    "active_customers_1995",
+    """SELECT c_mktsegment, count(*) AS n FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                     AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+                     AND o.o_orderdate < TIMESTAMP '1996-01-01')
+       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    doc="semi-join (EXISTS) on plain tables",
+)
+def active_customers_1995(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        c.join(o, "c_custkey", "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@q(
+    "sessionize",
+    """WITH g AS (
+         SELECT user_id, ts,
+                CASE WHEN CAST(epoch(ts) AS BIGINT)
+                          - CAST(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT)
+                          > 1800
+                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                     THEN 1 ELSE 0 END AS new_session
+         FROM events)
+       SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions
+       FROM g GROUP BY user_id ORDER BY n_sessions DESC, user_id LIMIT 20""",
+    doc="sessionization: lag + gap>30min flag + sum (guide OLAP pattern)",
+)
+def sessionize(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = t(spark, sf_dir, "events").withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(F.sum("new_session").cast("long").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+@q(
+    "politeness_budget_rank",
+    """SELECT o_orderpriority AS host, o_orderkey AS url_id,
+              CAST(rk AS BIGINT) AS rk FROM (
+         SELECT o_orderpriority, o_orderkey,
+                row_number() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_orderdate, o_orderkey) AS rk
+         FROM orders WHERE o_orderstatus = 'O')
+       WHERE rk <= 2 ORDER BY host, rk""",
+    doc="the window-ranked per-host claim batch (north rule) exercised on plain tables",
+)
+def politeness_budget_rank(spark, sf_dir):
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderdate", "o_orderkey")
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 2)
+        .select(F.col("o_orderpriority").alias("host"), F.col("o_orderkey").alias("url_id"), "rk")
+        .orderBy("host", "rk")
+    )

@@ -1,0 +1,279 @@
+"""Training-data pipeline queries: dedup, similarity search, text analysis.
+
+Registered into the same QUERY_REGISTRY; oracles reproduce the exact
+hash math via the md5-derived 60-bit hash (functions/text.py), so even
+MinHash/SimHash are value-checked against DuckDB, not just row-counted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_web_scrapper_and_crawler_spark.analytics.queries import QUERY_REGISTRY, q, t
+from distributed_web_scrapper_and_crawler_spark.functions.text import (
+    char_ngrams_sql,
+    doc_fingerprint,
+    doc_fingerprint_sql,
+    lang_hits,
+    lang_hits_sql,
+    md5_long_sql,
+    tokens_bpe,
+    tokens_ws,
+)
+from distributed_web_scrapper_and_crawler_spark.operators import ann, dedup
+
+_SHINGLES_CTE = f"""
+shingles AS (
+  SELECT DISTINCT doc_id AS id,
+         unnest({char_ngrams_sql("text", 8)}) AS shingle
+  FROM documents
+)"""
+
+_MINHASH_CTE = (
+    _SHINGLES_CTE
+    + f""",
+exploded AS (
+  SELECT id, shingle, unnest(range(0, 8)) AS h FROM shingles
+),
+minhash AS (
+  SELECT id, h, min({md5_long_sql("concat(CAST(h AS VARCHAR), '#', shingle)")}) AS minhash
+  FROM exploded GROUP BY id, h
+)"""
+)
+
+
+# ---------------------------------------------------------------- dedup
+
+@q(
+    "dedup_exact_stats",
+    """SELECT count(*) AS n_docs,
+              count(DISTINCT md5(text)) AS n_unique,
+              count(*) - count(DISTINCT md5(text)) AS n_dup_docs
+       FROM documents""",
+    doc="exact dedup: hash-groupBy content fingerprints",
+)
+def dedup_exact_stats(spark, sf_dir):
+    return dedup.exact_dup_stats(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@q(
+    "minhash_signatures",
+    f"""WITH {_MINHASH_CTE}
+       SELECT id AS doc_id, CAST(h AS BIGINT) AS h, minhash
+       FROM minhash ORDER BY doc_id, h""",
+    doc="MinHash: 8 signatures per doc over char-8-gram shingles",
+)
+def minhash_signatures(spark, sf_dir):
+    mh = dedup.minhash_table(t(spark, sf_dir, "documents"), "doc_id", "text", n_hashes=8, ngram=8)
+    return mh.select(F.col("id").alias("doc_id"), F.col("h").cast("long").alias("h"), "minhash").orderBy(
+        "doc_id", "h"
+    )
+
+
+@q(
+    "lsh_candidate_pairs",
+    f"""WITH {_MINHASH_CTE},
+       banded AS (
+         SELECT id, CAST(floor(h / 2) AS INT) AS band,
+                concat(CAST(sum(minhash) AS VARCHAR), ':', CAST(min(minhash) AS VARCHAR),
+                       ':', CAST(max(minhash) AS VARCHAR)) AS sig
+         FROM minhash GROUP BY id, CAST(floor(h / 2) AS INT))
+       SELECT DISTINCT l.id AS a, r.id AS b
+       FROM banded l JOIN banded r ON l.band = r.band AND l.sig = r.sig AND l.id < r.id
+       ORDER BY a, b""",
+    doc="MinHash-LSH: banded signatures -> bucket self-join (no cross join)",
+)
+def lsh_candidate_pairs(spark, sf_dir):
+    mh = dedup.minhash_table(t(spark, sf_dir, "documents"), "doc_id", "text", n_hashes=8, ngram=8)
+    return dedup.lsh_candidate_pairs(mh, bands=4, rows_per_band=2).orderBy("a", "b")
+
+
+@q(
+    "ngram_jaccard_pairs",
+    f"""WITH {_SHINGLES_CTE},
+       sizes AS (SELECT id, count(*) AS sz FROM shingles GROUP BY id),
+       shared AS (
+         SELECT l.id AS a, r.id AS b, count(*) AS shared
+         FROM shingles l JOIN shingles r ON l.shingle = r.shingle AND l.id < r.id
+         GROUP BY l.id, r.id)
+       SELECT a, b, round(shared / (sa.sz + sb.sz - shared), 4) AS jaccard
+       FROM shared JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b
+       WHERE round(shared / (sa.sz + sb.sz - shared), 4) >= 0.35
+       ORDER BY a, b""",
+    doc="n-gram Jaccard near-dup: inverted-index join, exact similarity",
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", n=8, threshold=0.35
+    ).orderBy("a", "b")
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    tok_hash = md5_long_sql("tok")
+    sums = ",\n    ".join(
+        f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(bits)
+    )
+    combine = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits))
+    return f"""WITH toks AS (
+  SELECT doc_id AS id, unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents),
+hv AS (SELECT id, {tok_hash} AS hv FROM toks),
+agg AS (SELECT id, {sums} FROM hv GROUP BY id)
+SELECT id AS doc_id, CAST({combine} AS BIGINT) AS simhash FROM agg ORDER BY doc_id"""
+
+
+@q(
+    "simhash_fingerprints",
+    _simhash_sql(16),
+    doc="SimHash: 16-bit sign-aggregated token-hash fingerprint per doc",
+)
+def simhash_fingerprints(spark, sf_dir):
+    sh = dedup.simhash(t(spark, sf_dir, "documents"), "doc_id", "text", bits=16)
+    return sh.select(F.col("id").alias("doc_id"), "simhash").orderBy("doc_id")
+
+
+# ------------------------------------------------------------ similarity
+
+@q(
+    "embedding_topk",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+       scored AS (
+         SELECT q.q_id, e.vec_id AS neighbor_id,
+                round(list_cosine_similarity(e.v, q.qv), 4) AS score
+         FROM e JOIN q ON e.vec_id <> q.q_id)
+       SELECT q_id, neighbor_id, score, rk AS rank FROM (
+         SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                        ORDER BY score DESC, neighbor_id) AS BIGINT) AS rk
+         FROM scored)
+       WHERE rk <= 5 ORDER BY q_id, rank""",
+    doc="brute-force cosine top-k ANN baseline (broadcast queries, JVM-side fold)",
+)
+def embedding_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    res = ann.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+    return res.withColumn("rank", F.col("rank").cast("long")).orderBy("q_id", "rank")
+
+
+@q(
+    "embedding_near_dups",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+       SELECT a.vec_id AS a, b.vec_id AS b,
+              round(list_cosine_similarity(a.v, b.v), 4) AS score
+       FROM e a JOIN e b ON a.vec_id < b.vec_id
+       WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.45
+       ORDER BY a, b""",
+    doc="embedding-cosine near-dup pairs (exact; LSH variant is ann_lsh_topk)",
+)
+def embedding_near_dups(spark, sf_dir):
+    return ann.near_dup_pairs(t(spark, sf_dir, "embeddings"), threshold=0.45).orderBy("a", "b")
+
+
+@q(
+    "ann_lsh_topk",
+    None,  # hyperplane construction is Spark-expressed; driver rows-only check
+    doc="LSH-bucketed approximate top-k (random-hyperplane signatures, bucket equi-join)",
+)
+def ann_lsh_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    res = ann.lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, n_planes=4)
+    return res.withColumn("rank", F.col("rank").cast("long")).orderBy("q_id", "rank")
+
+
+# ------------------------------------------------------------ text analysis
+
+_LANG_PRED_SQL = f"""CASE
+  WHEN {lang_hits_sql("text", "en")} >= {lang_hits_sql("text", "de")}
+   AND {lang_hits_sql("text", "en")} >= {lang_hits_sql("text", "fr")}
+   AND {lang_hits_sql("text", "en")} >= {lang_hits_sql("text", "es")} THEN 'en'
+  WHEN {lang_hits_sql("text", "de")} >= {lang_hits_sql("text", "fr")}
+   AND {lang_hits_sql("text", "de")} >= {lang_hits_sql("text", "es")} THEN 'de'
+  WHEN {lang_hits_sql("text", "fr")} >= {lang_hits_sql("text", "es")} THEN 'fr'
+  ELSE 'es' END"""
+
+
+@q(
+    "lang_id_histogram",
+    f"""SELECT {_LANG_PRED_SQL} AS lang_pred, count(*) AS n
+       FROM documents GROUP BY 1 ORDER BY lang_pred""",
+    doc="language-ID heuristic: per-language stopword hit counts, argmax",
+)
+def lang_id_histogram(spark, sf_dir):
+    en, de, fr, es = (lang_hits("text", l) for l in ("en", "de", "fr", "es"))
+    pred = (
+        F.when((en >= de) & (en >= fr) & (en >= es), "en")
+        .when((de >= fr) & (de >= es), "de")
+        .when(fr >= es, "fr")
+        .otherwise("es")
+    )
+    return (
+        t(spark, sf_dir, "documents")
+        .select(pred.alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang_pred")
+    )
+
+
+@q(
+    "quality_histogram",
+    f"""WITH feats AS (
+         SELECT len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+                {lang_hits_sql("text", "en")} AS n_stop
+         FROM documents)
+       SELECT CAST(floor(round(
+                least(n_tokens / 100.0, 1.0) * 0.7
+                + least(n_stop * 1.0 / greatest(n_tokens, 1), 0.3), 4) * 10) AS BIGINT) AS bucket,
+              count(*) AS n
+       FROM feats GROUP BY 1 ORDER BY bucket""",
+    doc="quality scoring: length + stopword-ratio composite, bucketed",
+)
+def quality_histogram(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens_ws("text"))
+    n_stop = lang_hits("text", "en")
+    score = F.round(
+        F.least(n_tokens / 100.0, F.lit(1.0)) * 0.7
+        + F.least(n_stop * 1.0 / F.greatest(n_tokens, F.lit(1)), F.lit(0.3)),
+        4,
+    )
+    return (
+        docs.select(F.floor(score * 10).cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )
+
+
+@q(
+    "token_stats",
+    """SELECT CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS total_ws_tokens,
+              CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))) AS BIGINT)
+                AS total_bpe_tokens,
+              round(avg(len(regexp_extract_all(text, '\\S+'))), 4) AS avg_tokens
+       FROM documents""",
+    doc="token counting: whitespace + BPE-ish regex pre-tokenization",
+)
+def token_stats(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    nws = F.size(tokens_ws("text"))
+    nbpe = F.size(tokens_bpe("text"))
+    return docs.agg(
+        F.sum(nws).cast("long").alias("total_ws_tokens"),
+        F.sum(nbpe).cast("long").alias("total_bpe_tokens"),
+        F.round(F.avg(nws), 4).alias("avg_tokens"),
+    )
+
+
+@q(
+    "doc_fingerprints",
+    f"""SELECT doc_id, {doc_fingerprint_sql("text")} AS fp
+       FROM documents WHERE doc_id < 50 ORDER BY doc_id""",
+    doc="document fingerprinting: md5 of whitespace-normalized text",
+)
+def doc_fingerprints(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", doc_fingerprint("text").alias("fp"))
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,153 @@
+"""Deduplication operators for training-data pipelines.
+
+The crawl engine dedups URLs (operators/bloom.py + anti-joins); this
+module dedups *content* — the other half of a web-scale corpus pipeline:
+
+- exact dedup: hash-groupBy on a content fingerprint;
+- MinHash + LSH: char-shingle -> k minhashes -> banded signatures ->
+  bucket self-join => candidate near-dup pairs without the O(n²) cross
+  join (the only scalable path at 10^10 documents);
+- n-gram Jaccard: exact similarity, computed only on pairs sharing at
+  least one shingle (shingle-inverted-index join, not a cross join);
+- SimHash: 16-bit sign-aggregated token-hash fingerprint.
+
+All pure Catalyst expressions over ``md5``-derived 60-bit hashes so the
+DuckDB oracle reproduces results bit-for-bit (functions/text.py).
+
+Scale notes: every self-join here keys on a shingle/bucket value =>
+hash-shuffle both sides once; stopword-like mega-shingles are the skew
+risk — ``max_shingle_df`` drops shingles whose document frequency
+explodes the candidate set (standard LSH practice), bounding the join
+fan-out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from distributed_web_scrapper_and_crawler_spark.functions.text import (
+    char_ngrams,
+    md5_long,
+    tokens_ws,
+)
+
+
+def exact_dup_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(n_docs, n_unique, n_dup_docs) on the md5 content fingerprint."""
+    return df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5(F.col(text_col))).alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5(F.col(text_col)))).alias("n_dup_docs"),
+    )
+
+
+def exact_dedup_keep_first(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Survivors: lowest id per identical content (first-discovery rule,
+    mirroring the crawl dedup tie-break)."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 8) -> DataFrame:
+    """(id, shingle) distinct — the inverted-index side of similarity joins."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(char_ngrams(text_col, n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard over char-n-gram sets for pairs sharing >=1 shingle.
+
+    shared(a,b) via shingle equi-join; |a ∪ b| = |a| + |b| - shared.
+    Returns (a, b, jaccard) with a < b, jaccard rounded to 4 decimals.
+    """
+    sh = shingle_table(df, id_col, text_col, n)
+    if max_shingle_df is not None:
+        hot = sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_df).select("shingle")
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    l, r = sh.alias("l"), sh.alias("r")
+    shared = (
+        l.join(r, "shingle")
+        .filter(F.col("l.id") < F.col("r.id"))
+        .groupBy(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    out = (
+        shared.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
+        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), "b")
+        .withColumn("jaccard", F.round(F.col("shared") / (F.col("sza") + F.col("szb") - F.col("shared")), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return out
+
+
+def minhash_table(df: DataFrame, id_col: str, text_col: str, n_hashes: int = 8, ngram: int = 8) -> DataFrame:
+    """(id, h, minhash): k independent minhashes via seed-concat md5 hashing.
+
+    One explode of the shingle set, then one groupBy — the per-seed hash
+    is ``md5(concat(seed, '#', shingle))`` so the oracle can reproduce it.
+    """
+    sh = shingle_table(df, id_col, text_col, ngram)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("h")
+    exploded = sh.select("id", "shingle", seeds)
+    hv = md5_long(F.concat_ws("#", F.col("h").cast("string"), F.col("shingle")))
+    return exploded.withColumn("hv", hv).groupBy("id", "h").agg(F.min("hv").alias("minhash"))
+
+
+def lsh_candidate_pairs(minhash: DataFrame, bands: int = 4, rows_per_band: int = 2) -> DataFrame:
+    """Banded LSH: docs sharing any band signature become candidates.
+
+    band signature = concat of the band's ``rows_per_band`` minhashes;
+    self-join on (band, signature), distinct (a < b) pairs. The bucket
+    join replaces the cross join — the scale move.
+    """
+    # collect_list order is nondeterministic => build the signature with
+    # order-insensitive combiners (sum/min/max) over the band's hashes
+    banded = (
+        minhash.withColumn("band", F.floor(F.col("h") / rows_per_band).cast("int"))
+        .groupBy("id", "band")
+        .agg(
+            F.sum("minhash").alias("_s"),
+            F.min("minhash").alias("_m"),
+            F.max("minhash").alias("_x"),
+        )
+        .withColumn("sig", F.concat_ws(":", "_s", "_m", "_x"))
+        .select("id", "band", "sig")
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(r, ["band", "sig"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """SimHash fingerprint: per bit b, sign of sum over tokens of
+    (+1 if md5_long(token) has bit b else -1); token multiplicity counts.
+    Returns (id, simhash int)."""
+    toks = df.select(F.col(id_col).alias("id"), F.explode(tokens_ws(text_col)).alias("tok"))
+    hv = toks.withColumn("hv", md5_long(F.col("tok")))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("hv"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    agg = hv.groupBy("id").agg(*bit_sums)
+    sim = F.lit(0)
+    for b in range(bits):
+        sim = sim + F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return agg.select("id", sim.cast("long").alias("simhash"))
