@@ -1,0 +1,156 @@
+"""Benchmark harness.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total headline sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "crawl": {urls_per_sec, ...}, "cpus": N}
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
+  SPARK_GRAFT_BENCH_MODE  full | queries | crawl   (default full)
+  SPARK_GRAFT_CRAWL_DOCS  synthetic-web size for the crawl bench (default 40000)
+
+The crawl section measures the north-rule metric (URLs scheduled+deduped
+per second) on the real engine: production-mode rounds (per-host window
+budgets, Bloom-prefiltered dedup) over a deterministic synthetic web.
+Scaling evidence (local[8] vs local[32]) is produced by
+tools/scaling_evidence.py, which shells out to this file at two
+parallelism levels on the SAME cached corpus.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "flagship_q1",
+    "revenue_by_nation",
+    "topk_per_group",
+    "sessionize",
+    "text_search",
+    "lsh_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "embedding_topk",
+    "token_stats",
+    "recent_activity",
+]
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    from distributed_web_scrapper_and_crawler_spark.analytics import QUERY_REGISTRY
+
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERY_REGISTRY[name].fn
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        out[name] = round(time.monotonic() - t0, 3)
+        _ = n
+    return out
+
+
+def _bench_corpus(spark, n_docs: int):
+    """Deterministic bench corpus, cached to /tmp keyed by its spec."""
+    from distributed_web_scrapper_and_crawler_spark.config import CorpusSpec
+    from distributed_web_scrapper_and_crawler_spark.sources.corpus import (
+        generate_corpus,
+        read_corpus,
+        write_corpus_parquet,
+    )
+
+    n_hosts = 40
+    spec = CorpusSpec(
+        seed=1,
+        n_hosts=n_hosts,
+        docs_per_host=max(n_docs // n_hosts, 10),
+        links_per_doc=8,
+        hot_host_share=0.3,
+    )
+    key = hashlib.md5(repr(spec).encode()).hexdigest()[:12]
+    path = f"/tmp/dwsc_bench_corpus_{key}.parquet"
+    if not os.path.exists(path):
+        write_corpus_parquet(generate_corpus(spec), path)
+    return read_corpus(spark, path), spec
+
+
+def bench_crawl(spark, n_docs: int) -> dict:
+    from distributed_web_scrapper_and_crawler_spark.config import CrawlConfig
+    from distributed_web_scrapper_and_crawler_spark.plans.crawl import CrawlEngine
+
+    corpus, spec = _bench_corpus(spark, n_docs)
+    corpus = corpus.cache()
+    corpus.count()
+    cfg = CrawlConfig(
+        parity_mode=False,
+        per_host_budget=4096,
+        use_bloom=True,
+        allowed_domains=("example.test",),
+    )
+    eng = CrawlEngine(spark=spark, corpus=corpus, cfg=cfg, bloom_capacity=1 << 22)
+    seeds = [f"http://{h}/page/0" for h in spec.hosts[:8]]
+    t0 = time.monotonic()
+    eng.seed(seeds)
+    eng.run()
+    wall = time.monotonic() - t0
+    claimed = sum(s["urls_claimed"] for s in eng.round_stats)
+    links = sum(s["links_found"] for s in eng.round_stats)
+    new = sum(s["links_new"] for s in eng.round_stats)
+    return {
+        "rounds": len(eng.round_stats),
+        "urls_claimed": claimed,
+        "links_deduped": links,
+        "links_new": new,
+        "wall_sec": round(wall, 2),
+        "urls_per_sec": round((claimed + links) / wall, 1),
+        "scheduled_per_sec": round(claimed / wall, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "full")
+    crawl_docs = int(os.environ.get("SPARK_GRAFT_CRAWL_DOCS", "40000"))
+
+    from distributed_web_scrapper_and_crawler_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="dwsc-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+    )
+
+    queries: dict[str, float] = {}
+    crawl: dict = {}
+    if mode in ("full", "queries"):
+        queries = bench_queries(spark, sf_dir)
+    if mode in ("full", "crawl"):
+        crawl = bench_crawl(spark, crawl_docs)
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    result = {
+        "metric": "headline_queries_total_plus_crawl",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_val,
+        "crawl": crawl,
+        "cpus": cpus,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

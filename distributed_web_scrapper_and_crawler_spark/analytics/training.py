@@ -88,23 +88,36 @@ def lsh_candidate_pairs(spark, sf_dir):
     return dedup.lsh_candidate_pairs(mh, bands=4, rows_per_band=2).orderBy("a", "b")
 
 
+_MAX_SHINGLE_DF = 50  # drop stopword-like mega-shingles: bounds join fan-out
+
+
 @q(
     "ngram_jaccard_pairs",
     f"""WITH {_SHINGLES_CTE},
-       sizes AS (SELECT id, count(*) AS sz FROM shingles GROUP BY id),
+       rare AS (
+         SELECT id, shingle FROM shingles
+         WHERE shingle IN (SELECT shingle FROM shingles
+                           GROUP BY shingle HAVING count(*) <= {_MAX_SHINGLE_DF})),
+       sizes AS (SELECT id, count(*) AS sz FROM rare GROUP BY id),
        shared AS (
          SELECT l.id AS a, r.id AS b, count(*) AS shared
-         FROM shingles l JOIN shingles r ON l.shingle = r.shingle AND l.id < r.id
+         FROM rare l JOIN rare r ON l.shingle = r.shingle AND l.id < r.id
          GROUP BY l.id, r.id)
        SELECT a, b, round(shared / (sa.sz + sb.sz - shared), 4) AS jaccard
        FROM shared JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b
        WHERE round(shared / (sa.sz + sb.sz - shared), 4) >= 0.35
        ORDER BY a, b""",
-    doc="n-gram Jaccard near-dup: inverted-index join, exact similarity",
+    doc="n-gram Jaccard near-dup over rare shingles: inverted-index join with a "
+    "document-frequency cap (the LSH-standard hot-shingle skew guard)",
 )
 def ngram_jaccard_pairs(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
-        t(spark, sf_dir, "documents"), "doc_id", "text", n=8, threshold=0.35
+        t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=8,
+        threshold=0.35,
+        max_shingle_df=_MAX_SHINGLE_DF,
     ).orderBy("a", "b")
 
 

@@ -67,6 +67,10 @@ class CrawlConfig:
     # Bloom pre-filter in front of the ground-truth anti-joins.
     use_bloom: bool = True
     bloom_fpp: float = 0.01
+    # Collect per-round link/fetch counts for the metrics table. Costs two
+    # extra Spark jobs per round; benchmarks turn it off (claim count and
+    # new-link count are structural — always collected).
+    collect_stats: bool = True
 
     def field_names(self) -> list[str]:
         return [r.field for r in self.extraction_rules]

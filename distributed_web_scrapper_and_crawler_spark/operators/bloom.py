@@ -80,59 +80,71 @@ class NumpyBloom:
         self.words |= other.words
         return self
 
+    def set_indices(self, idx: np.ndarray) -> None:
+        np.bitwise_or.at(
+            self.words, (idx >> np.uint64(6)).astype(np.int64), np.uint64(1) << (idx & np.uint64(63))
+        )
+
+    def indices_for(self, h) -> np.ndarray:
+        """All k bit indices for the given hashes (the sparse partial)."""
+        return self._indices(_as_u64(h)).ravel()
+
     def to_bytes(self) -> bytes:
         return self.words.tobytes()
 
     @classmethod
-    def from_bytes(cls, data: bytes, n_bits: int, k: int) -> "NumpyBloom":
+    def from_bytes(cls, data: bytes, n_bits: int, k: int, writable: bool = True) -> "NumpyBloom":
         bf = cls(n_bits, k)
-        bf.words = np.frombuffer(data, dtype=np.uint64).copy()
+        arr = np.frombuffer(data, dtype=np.uint64)
+        bf.words = arr.copy() if writable else arr  # read-only probes skip the copy
         return bf
 
 
 def build_bloom(df: DataFrame, hash_col: str = "url_hash", expected_n: int | None = None, fpp: float = 0.01) -> NumpyBloom:
-    """Partitioned build: per-partition bitmaps via mapInPandas, OR-merge on
-    the driver. One narrow pass over the table, no shuffle."""
+    """Partitioned build: one narrow pass over the table, no shuffle;
+    per-partition partials (adaptive bitmap/indices) OR-merged on the
+    driver."""
     if expected_n is None:
         expected_n = df.count()
-    proto = NumpyBloom.sized(max(expected_n, 1024), fpp)
-    n_bits, k = proto.n_bits, proto.k
-
-    def per_partition(it):
-        bf = NumpyBloom(n_bits, k)
-        any_rows = False
-        for pdf in it:
-            if len(pdf):
-                any_rows = True
-                bf.add(pdf[hash_col])
-        if any_rows:
-            yield pd.DataFrame({"bloom": [bf.to_bytes()]})
-
-    parts = df.select(hash_col).mapInPandas(per_partition, "bloom binary").collect()
-    out = NumpyBloom(n_bits, k)
-    for row in parts:
-        out.merge(NumpyBloom.from_bytes(row["bloom"], n_bits, k))
-    return out
+    out = NumpyBloom.sized(max(expected_n, 1024), fpp)
+    return add_df_to_bloom(out, df, hash_col)
 
 
 def add_df_to_bloom(bloom: NumpyBloom, df: DataFrame, hash_col: str = "url_hash") -> NumpyBloom:
-    """Fold a DataFrame's hashes into an existing filter *distributedly*:
-    per-partition bitmaps at the same (n_bits, k), OR-merged on the
-    driver — never collects raw keys (the 10^10-safe incremental path)."""
+    """Fold a DataFrame's hashes into an existing filter *distributedly*
+    — never collects raw keys (the 10^10-safe incremental path).
+
+    Each partition ships the SMALLER of (a) its local OR'd bitmap
+    (m/8 bytes) or (b) the sparse list of set bit-indices (8*k*rows
+    bytes). Small round deltas therefore cost KBs of driver traffic, not
+    partitions x full-bitmap — the adaptive trick that keeps per-round
+    fixed cost flat."""
     n_bits, k = bloom.n_bits, bloom.k
+    bitmap_bytes = n_bits // 8
 
     def per_partition(it):
-        part = NumpyBloom(n_bits, k)
-        any_rows = False
+        hashes = []
         for pdf in it:
             if len(pdf):
-                any_rows = True
-                part.add(pdf[hash_col])
-        if any_rows:
-            yield pd.DataFrame({"bloom": [part.to_bytes()]})
+                hashes.append(np.asarray(pdf[hash_col], dtype=np.int64))
+        if not hashes:
+            return
+        h = np.concatenate(hashes)
+        if h.size * k * 8 < bitmap_bytes:
+            proto = NumpyBloom(n_bits, k)
+            idx = np.unique(proto.indices_for(h))
+            yield pd.DataFrame({"mode": ["idx"], "payload": [idx.tobytes()]})
+        else:
+            part = NumpyBloom(n_bits, k)
+            part.add(h)
+            yield pd.DataFrame({"mode": ["bitmap"], "payload": [part.to_bytes()]})
 
-    for row in df.select(hash_col).mapInPandas(per_partition, "bloom binary").collect():
-        bloom.merge(NumpyBloom.from_bytes(row["bloom"], n_bits, k))
+    rows = df.select(hash_col).mapInPandas(per_partition, "mode string, payload binary").collect()
+    for row in rows:
+        if row["mode"] == "idx":
+            bloom.set_indices(np.frombuffer(row["payload"], dtype=np.uint64))
+        else:
+            bloom.merge(NumpyBloom.from_bytes(row["payload"], n_bits, k))
     return bloom
 
 
@@ -143,7 +155,7 @@ def bloom_maybe_contains_udf(spark, bloom: NumpyBloom):
     @F.pandas_udf("boolean")
     def _maybe(h: pd.Series) -> pd.Series:
         data, n_bits, k = bc.value
-        bf = NumpyBloom.from_bytes(data, n_bits, k)
+        bf = NumpyBloom.from_bytes(data, n_bits, k, writable=False)  # zero-copy probe
         return pd.Series(bf.contains(h))
 
     return _maybe

@@ -86,7 +86,12 @@ class CheckpointStore:
         if os.path.exists(rdir):
             shutil.rmtree(rdir)  # re-running an uncommitted round
         os.makedirs(rdir)
-        manifest: dict = {"round": rnd, "max_seq": state.max_seq, "tables": {}}
+        manifest: dict = {
+            "round": rnd,
+            "max_seq": state.max_seq,
+            "pending_count": state.pending_count,
+            "tables": {},
+        }
 
         pend_path = os.path.join(rdir, "pending")
         state.pending.write.mode("overwrite").parquet(pend_path)
@@ -149,4 +154,5 @@ class CheckpointStore:
             metrics=rd("metrics"),
             max_seq=m["max_seq"],
             round=m["round"],
+            pending_count=m.get("pending_count", 0),
         )

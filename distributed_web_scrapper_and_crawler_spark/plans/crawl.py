@@ -73,7 +73,11 @@ class CrawlEngine:
         ).localCheckpoint()
         n = pending.count()
         state = state.evolve(
-            pending=pending, enqueued=pending.select("url", "url_hash"), max_seq=n, round=-1
+            pending=pending,
+            enqueued=pending.select("url", "url_hash"),
+            max_seq=n,
+            round=-1,
+            pending_count=n,
         )
         if self.bloom is not None and n:
             add_df_to_bloom(self.bloom, pending, "url_hash")
@@ -113,26 +117,54 @@ class CrawlEngine:
             )
             if res.drained:
                 break
-            self.round_stats.append(res.stats)
+            import time as _time
+
+            _t = _time.monotonic()
             self._materialize(res)
+            res.stats.setdefault("phases", {})["materialize"] = round(_time.monotonic() - _t, 3)
+            self.round_stats.append(res.stats)
             rounds_done += 1
         return self.state
 
     def _materialize(self, res) -> None:
-        """Truncate lineage each round: durable parquet snapshot on
-        checkpoint rounds (resumable), localCheckpoint otherwise."""
+        """Truncate lineage each round.
+
+        - ``pending`` is the rewritten active set => full localCheckpoint
+          (or parquet snapshot on durable rounds).
+        - append-only tables (done/seen/enqueued/pages/metrics) checkpoint
+          ONLY this round's delta and lazily union it onto the previous
+          (already-materialized) table — O(rows) total work across the
+          crawl instead of O(rows x rounds). This is exactly the Iceberg
+          append-file model, in block-manager form.
+        """
         durable = self.store is not None and (res.state.round % self.checkpoint_every == 0)
         if durable:
             self.store.write_round(res.state, res.deltas)
             self.state = self.store.load_state(self.cfg.field_names(), rnd=res.state.round)
         else:
+            # Partition-count hygiene, but ONLY for the tables re-scanned
+            # inside every round (enqueued anti-join, pending claim): a
+            # 30-row delta checkpointed as 32 partitions costs a task per
+            # partition in every later scan, and the append chain
+            # accumulates hundreds of empty tasks. The write-only tables
+            # (pages/done/seen/metrics) keep their natural partitioning —
+            # coalescing those would collapse the extraction UDF into one
+            # task.
+            st = res.stats
+
+            def npart(n: int) -> int:
+                return max(1, min(64, n // 200_000 + 1))
+
+            prev = self.state
+            d = {k: v.localCheckpoint() for k, v in res.deltas.items() if k != "enqueued"}
+            d["enqueued"] = res.deltas["enqueued"].coalesce(npart(st["links_new"])).localCheckpoint()
             self.state = res.state.evolve(
-                pending=res.state.pending.localCheckpoint(),
-                done=res.state.done.localCheckpoint(),
-                seen=res.state.seen.localCheckpoint(),
-                enqueued=res.state.enqueued.localCheckpoint(),
-                pages=res.state.pages.localCheckpoint(),
-                metrics=res.state.metrics.localCheckpoint(),
+                pending=res.state.pending.coalesce(npart(res.state.pending_count)).localCheckpoint(),
+                done=prev.done.unionByName(d["done"]),
+                seen=prev.seen.unionByName(d["seen"]),
+                enqueued=prev.enqueued.unionByName(d["enqueued"]),
+                pages=prev.pages.unionByName(d["pages"]),
+                metrics=prev.metrics.unionByName(d["metrics"]),
             )
         for c in res.caches:
             c.unpersist()

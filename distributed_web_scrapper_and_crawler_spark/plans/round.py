@@ -40,7 +40,6 @@ from pyspark.sql import functions as F
 from distributed_web_scrapper_and_crawler_spark.config import CrawlConfig
 from distributed_web_scrapper_and_crawler_spark.functions.canonicalize import (
     allowed_domain_filter,
-    canonicalize_udf,
 )
 from distributed_web_scrapper_and_crawler_spark.operators.bloom import (
     NumpyBloom,
@@ -49,7 +48,7 @@ from distributed_web_scrapper_and_crawler_spark.operators.bloom import (
 )
 from distributed_web_scrapper_and_crawler_spark.operators.extract import (
     extract_fields_udf,
-    extract_links_udf,
+    extract_links_canon_udf,
     spans_sorted,
 )
 from distributed_web_scrapper_and_crawler_spark.plans.politeness import apply_robots, claim_batch
@@ -80,8 +79,15 @@ def run_round(
     rnd = state.round + 1
     t0 = time.monotonic()
 
+    phase_t: dict[str, float] = {}
+
+    def _mark(name: str, t_start: float) -> None:
+        phase_t[name] = round(time.monotonic() - t_start, 3)
+
+    t = time.monotonic()
     claim = claim_batch(state.pending, cfg).cache()
     n_claimed = claim.count()
+    _mark("claim", t)
     if n_claimed == 0:
         claim.unpersist()
         return RoundResult(state, {}, {"round": rnd, "urls_claimed": 0}, drained=True)
@@ -104,24 +110,21 @@ def run_round(
     ).select("_f.*", "url", "depth", "round", "spans")
 
     # -- link extraction (the table-generating function, SURVEY.md §2.3) --
-    links_raw = fetched.select(
+    # fused extract+urljoin+canonicalize UDF: one Arrow crossing over the
+    # round's biggest intermediate
+    links = fetched.select(
         F.col("seq").alias("parent_seq"),
         F.col("depth").alias("parent_depth"),
-        F.explode(extract_links_udf()(F.col("url"), F.col("spans"))).alias("_l"),
+        F.explode(extract_links_canon_udf(parity=cfg.parity_mode)(F.col("url"), F.col("spans"))).alias(
+            "_l"
+        ),
     ).select(
         "parent_seq",
         (F.col("parent_depth") + F.col("_l.depth_delta")).cast("int").alias("depth"),
-        F.col("_l.url").alias("raw_url"),
         F.col("_l.pos").alias("pos"),
-    )
-    canon = canonicalize_udf(parity=cfg.parity_mode)
-    links = links_raw.withColumn("_c", canon("raw_url")).select(
-        "parent_seq",
-        "depth",
-        "pos",
-        F.col("_c.url").alias("url"),
-        F.col("_c.host").alias("host"),
-        F.col("_c.path").alias("path"),
+        F.col("_l.url").alias("url"),
+        F.col("_l.host").alias("host"),
+        F.col("_l.path").alias("path"),
     )
     # allow-filter on netloc substring — identical pre/post normalization
     # because normalize preserves netloc (distributed_crawler.py:67-78)
@@ -130,8 +133,10 @@ def run_round(
         links = links.filter(F.col("depth") <= cfg.max_depth)
     if cfg.enforce_robots and robots is not None:
         links = apply_robots(links, robots)
+    t = time.monotonic()
     links = links.drop("path").withColumn("url_hash", F.xxhash64("url")).cache()
-    n_links = links.count()
+    n_links = links.count() if cfg.collect_stats else -1
+    _mark("links", t)
 
     # -- intra-batch dedup: first discovery wins (SURVEY.md §2.4) ----------
     w = Window.partitionBy("url_hash", "url").orderBy("parent_seq", "pos")
@@ -152,8 +157,14 @@ def run_round(
         new_links = unique_links.join(state.enqueued, ["url_hash", "url"], "left_anti")
 
     # -- dense discovery seq (deterministic ordering backbone) -------------
-    new_links, n_new = assign_global_seq(new_links, start=state.max_seq)
-    new_links = new_links.cache()
+    # cache BEFORE assign_global_seq: its bucket-count action is the first
+    # pass over the dedup pipeline; without the cache every downstream
+    # consumer (bloom add, pending/enqueued deltas) re-runs the window +
+    # anti-join + probe-UDF chain from scratch.
+    t = time.monotonic()
+    candidates = new_links.cache()
+    new_links, n_new = assign_global_seq(candidates, start=state.max_seq)
+    _mark("dedup_seq", t)
 
     pending_delta = new_links.select(
         "url",
@@ -179,18 +190,23 @@ def run_round(
     enqueued_delta = pending_delta.select("url", "url_hash")
 
     if bloom is not None and cfg.use_bloom and n_new:
+        t = time.monotonic()
         add_df_to_bloom(bloom, new_links, "url_hash")
+        _mark("bloom_add", t)
 
     wall_ms = int((time.monotonic() - t0) * 1000)
-    n_fetched = fetched.count()
+    t = time.monotonic()
+    n_fetched = fetched.count() if cfg.collect_stats else -1
+    _mark("fetched_count", t)
     stats = {
         "round": rnd,
         "urls_claimed": n_claimed,
         "urls_fetched": n_fetched,
         "links_found": n_links,
         "links_new": n_new,
-        "dedup_hits": n_links - n_new,
+        "dedup_hits": (n_links - n_new) if cfg.collect_stats else -1,
         "wall_ms": wall_ms,
+        "phases": phase_t,
     }
     metric_rows = [(rnd, -1, n_claimed, n_fetched, n_links, n_new, n_links - n_new, wall_ms)]
     if collect_partition_metrics:
@@ -209,6 +225,7 @@ def run_round(
         metrics=state.metrics.unionByName(metrics_delta),
         max_seq=state.max_seq + n_new,
         round=rnd,
+        pending_count=state.pending_count - n_claimed + n_new,
     )
     deltas = {
         "done": done_delta,
@@ -217,4 +234,4 @@ def run_round(
         "pages": pages_delta,
         "metrics": metrics_delta,
     }
-    return RoundResult(new_state, deltas, stats, drained=False, caches=(claim, fetched, links, new_links))
+    return RoundResult(new_state, deltas, stats, drained=False, caches=(claim, fetched, links, candidates))

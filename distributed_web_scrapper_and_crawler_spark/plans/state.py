@@ -107,6 +107,7 @@ class CrawlState:
     metrics: DataFrame
     max_seq: int  # next seq to assign (dense discovery counter)
     round: int  # last completed round (-1 = only seeded)
+    pending_count: int = 0  # exact: seeds, then +new -claimed each round
 
     def evolve(self, **kw) -> "CrawlState":
         return replace(self, **kw)
