@@ -37,6 +37,17 @@ from pyspark.sql import functions as F
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
 
+def _mix64(z: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — full-avalanche 64-bit mix, vectorized."""
+    z = z.astype(np.uint64, copy=True)
+    z ^= z >> np.uint64(33)
+    z *= np.uint64(0xFF51AFD7ED558CCD)
+    z ^= z >> np.uint64(33)
+    z *= np.uint64(0xC4CEB9FE1A85EC53)
+    z ^= z >> np.uint64(33)
+    return z
+
+
 def _as_u64(h: pd.Series | np.ndarray) -> np.ndarray:
     a = np.asarray(h, dtype=np.int64)
     return a.view(np.uint64)
@@ -58,8 +69,12 @@ class NumpyBloom:
         return cls(n_bits, k)
 
     def _indices(self, h: np.ndarray) -> np.ndarray:
-        h1 = h
-        h2 = (h * _GOLDEN) | np.uint64(1)
+        # Kirsch-Mitzenmacher double hashing needs h1, h2 with independent
+        # low bits (the power-of-two mask only reads low bits). Raw keys +
+        # a multiply fail that — low bits of h*c depend only on low bits
+        # of h — so run a splitmix64-style avalanche first.
+        h1 = _mix64(h)
+        h2 = _mix64(h + _GOLDEN) | np.uint64(1)
         ks = np.arange(self.k, dtype=np.uint64)[:, None]
         mask = np.uint64(self.n_bits - 1)
         return (h1[None, :] + ks * h2[None, :]) & mask  # (k, n)
@@ -212,12 +227,12 @@ class CuckooFilter:
         self.table = np.zeros((n_buckets, self.SLOTS), dtype=np.uint16)  # 0 = empty
 
     def _fp(self, u: np.ndarray) -> np.ndarray:
-        fp = ((u >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
+        fp = ((_mix64(u) >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
         fp[fp == 0] = 1
         return fp
 
     def _i1(self, u: np.ndarray) -> np.ndarray:
-        return (u & np.uint64(self.n_buckets - 1)).astype(np.int64)
+        return (_mix64(u) & np.uint64(self.n_buckets - 1)).astype(np.int64)
 
     def _i2(self, i1: np.ndarray, fp: np.ndarray) -> np.ndarray:
         fh = fp.astype(np.uint64) * _GOLDEN

@@ -90,6 +90,48 @@ class CrawlEngine:
         self.state = state
         return state
 
+    def enqueue_seeds(self, urls: list[str]) -> int:
+        """Enqueue extra seeds into a live crawl (the streaming-bridge path,
+        streaming/rounds_stream.py). Same dedup contract as discovery:
+        allowed ∧ not already enqueued; idempotent on (url_hash, url)."""
+        assert self.state is not None, "call seed() first"
+        st = self.state
+        seeds = self.spark.createDataFrame(
+            [(u, i) for i, u in enumerate(urls)], "raw_url string, input_order long"
+        )
+        canon = canonicalize_udf(parity=self.cfg.parity_mode)
+        seeds = (
+            seeds.withColumn("_c", canon("raw_url"))
+            .select("input_order", F.col("_c.url").alias("url"), F.col("_c.host").alias("host"))
+            .filter(allowed_domain_filter(F.col("host"), self.cfg.allowed_domains))
+        )
+        w = Window.partitionBy("url").orderBy("input_order")
+        seeds = seeds.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+        seeds = seeds.withColumn("url_hash", F.xxhash64("url")).join(
+            st.enqueued, ["url_hash", "url"], "left_anti"
+        )
+        seeds = seeds.withColumn("seq", F.row_number().over(Window.orderBy("input_order")) - 1)
+        rows = seeds.select(
+            "url",
+            "url_hash",
+            "host",
+            F.lit(0).alias("depth"),
+            F.lit(st.round + 1).alias("discovered_round"),
+            (F.col("seq") + st.max_seq).cast("long").alias("seq"),
+            F.lit("seed").alias("added_by"),
+        ).localCheckpoint()
+        n = rows.count()
+        if n:
+            if self.bloom is not None:
+                add_df_to_bloom(self.bloom, rows, "url_hash")
+            self.state = st.evolve(
+                pending=st.pending.unionByName(rows),
+                enqueued=st.enqueued.unionByName(rows.select("url", "url_hash")),
+                max_seq=st.max_seq + n,
+                pending_count=st.pending_count + n,
+            )
+        return n
+
     def resume(self) -> CrawlState:
         """Reload the latest committed snapshot; rebuild the Bloom filter
         from the ``enqueued`` ground truth (filters are derived state —

@@ -1,0 +1,89 @@
+"""Bloom/cuckoo filter properties: ZERO false negatives (the correctness
+contract — the filter is only a pre-filter), bounded false positives,
+delete support on cuckoo, distributed build == serial build."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from distributed_web_scrapper_and_crawler_spark.operators.bloom import (
+    CuckooFilter,
+    NumpyBloom,
+    ShardedBloom,
+    build_bloom,
+)
+
+
+@given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), min_size=1, max_size=500))
+@settings(max_examples=50, deadline=None)
+def test_bloom_zero_false_negatives(keys):
+    bf = NumpyBloom.sized(len(keys), 0.01)
+    arr = np.array(keys, dtype=np.int64)
+    bf.add(arr)
+    assert bf.contains(arr).all()
+
+
+def test_bloom_fpp_bounded():
+    rng = np.random.RandomState(7)
+    members = rng.randint(-(2**62), 2**62, size=50_000).astype(np.int64)
+    others = rng.randint(-(2**62), 2**62, size=50_000).astype(np.int64)
+    others = np.setdiff1d(others, members)
+    bf = NumpyBloom.sized(len(members), 0.01)
+    bf.add(members)
+    fpp = bf.contains(others).mean()
+    assert fpp < 0.03  # sized for 1%, power-of-two rounding gives slack
+
+
+def test_bloom_merge_equals_union():
+    rng = np.random.RandomState(1)
+    a = rng.randint(-(2**62), 2**62, size=1000).astype(np.int64)
+    b = rng.randint(-(2**62), 2**62, size=1000).astype(np.int64)
+    m = NumpyBloom.sized(4000, 0.01)
+    m.add(a)
+    other = NumpyBloom(m.n_bits, m.k)
+    other.add(b)
+    m.merge(other)
+    assert m.contains(a).all() and m.contains(b).all()
+
+
+def test_sharded_bloom_no_false_negatives():
+    rng = np.random.RandomState(2)
+    keys = rng.randint(-(2**62), 2**62, size=20_000).astype(np.int64)
+    sb = ShardedBloom(n_shards=8, expected_n=20_000)
+    sb.add(keys)
+    assert sb.contains(keys).all()
+
+
+def test_distributed_build_equals_serial(spark):
+    rng = np.random.RandomState(3)
+    keys = rng.randint(-(2**62), 2**62, size=5_000).astype(np.int64)
+    df = spark.createDataFrame([(int(k),) for k in keys], "url_hash long").repartition(7)
+    dist = build_bloom(df, "url_hash", expected_n=5_000)
+    serial = NumpyBloom.sized(5_000, 0.01)
+    serial.add(keys)
+    assert (dist.words == serial.words).all()
+
+
+def test_cuckoo_insert_contains_delete():
+    rng = np.random.RandomState(4)
+    keys = rng.randint(-(2**62), 2**62, size=2_000).astype(np.int64)
+    cf = CuckooFilter(capacity=4_000)
+    assert cf.insert(keys)
+    assert cf.contains(keys).all()
+    removed = cf.delete(keys[:500])
+    assert removed.all()
+    # the deleted keys' slots are gone; remaining keys still present
+    assert cf.contains(keys[500:]).all()
+
+
+@pytest.mark.parametrize("n", [10, 1000])
+def test_cuckoo_fpp_sane(n):
+    rng = np.random.RandomState(5)
+    members = rng.randint(-(2**62), 2**62, size=n).astype(np.int64)
+    others = rng.randint(-(2**62), 2**62, size=10_000).astype(np.int64)
+    cf = CuckooFilter(capacity=2 * n)
+    cf.insert(members)
+    assert cf.contains(others).mean() < 0.05

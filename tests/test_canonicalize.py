@@ -1,0 +1,66 @@
+"""Unit + property tests for URL normalization/canonicalization."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from distributed_web_scrapper_and_crawler_spark.functions.canonicalize import (
+    canonicalize_url_py,
+    normalize_url_py,
+)
+
+
+def test_normalize_reference_exact():
+    # distributed_crawler.py:75-78: drop query AND fragment, keep case
+    assert normalize_url_py("http://Host.Test/Path/x?b=2&a=1#frag") == "http://Host.Test/Path/x"
+    assert normalize_url_py("https://h.test/") == "https://h.test/"
+    assert normalize_url_py("http://h.test") == "http://h.test"
+
+
+def test_canonicalize_production():
+    # north rule: lowercase scheme/host, sorted query, fragment strip
+    assert canonicalize_url_py("HTTP://Host.Test/P?b=2&a=1#f") == "http://host.test/P?a=1&b=2"
+    assert canonicalize_url_py("http://h.test:80/x") == "http://h.test/x"
+    assert canonicalize_url_py("https://h.test:443/x") == "https://h.test/x"
+    assert canonicalize_url_py("http://h.test") == "http://h.test/"
+
+
+_url = st.builds(
+    lambda host, path, q, frag: f"http://{host}/{path}" + (f"?{q}" if q else "") + (f"#{frag}" if frag else ""),
+    host=st.from_regex(r"[a-z]{1,8}\.(test|example)", fullmatch=True),
+    path=st.from_regex(r"[A-Za-z0-9/_-]{0,20}", fullmatch=True),
+    q=st.from_regex(r"([a-z]=[0-9](&[a-z]=[0-9]){0,3})?", fullmatch=True),
+    frag=st.from_regex(r"[a-z0-9]{0,6}", fullmatch=True),
+)
+
+
+@given(_url)
+@settings(max_examples=200, deadline=None)
+def test_canonicalize_idempotent(url):
+    once = canonicalize_url_py(url)
+    assert canonicalize_url_py(once) == once
+
+
+@given(_url)
+@settings(max_examples=200, deadline=None)
+def test_normalize_idempotent_and_strips(url):
+    once = normalize_url_py(url)
+    assert normalize_url_py(once) == once
+    assert "?" not in once and "#" not in once
+
+
+def test_udf_matches_py(spark):
+    from pyspark.sql import functions as F
+
+    from distributed_web_scrapper_and_crawler_spark.functions.canonicalize import canonicalize_udf
+
+    urls = [
+        "http://Host.Test/Path?b=2&a=1#frag",
+        "https://h.test:443/x",
+        "http://h042.example.test/cat/7",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    for parity, ref in ((True, normalize_url_py), (False, canonicalize_url_py)):
+        got = df.select(canonicalize_udf(parity)("url").alias("c")).select("c.url").collect()
+        assert [r["url"] for r in got] == [ref(u) for u in urls]

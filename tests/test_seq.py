@@ -1,0 +1,34 @@
+"""assign_global_seq: bucketed parallel ranking must equal the naive
+single-partition global rank, for any bucket size."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from distributed_web_scrapper_and_crawler_spark.plans.seq import assign_global_seq
+
+
+@pytest.mark.parametrize("bucket_size", [1, 3, 4096])
+def test_matches_global_rank(spark, bucket_size):
+    import random
+
+    rng = random.Random(9)
+    rows = [(rng.randrange(0, 50), rng.randrange(0, 20), f"u{i}") for i in range(500)]
+    # make order keys unique like real (parent_seq, pos) pairs
+    rows = [(ps, i % 37, u) for i, (ps, _, u) in enumerate(rows)]
+    df = spark.createDataFrame(rows, "parent_seq long, pos int, url string").repartition(8)
+    got, n = assign_global_seq(df, start=100, bucket_size=bucket_size)
+    assert n == 500
+    naive = df.withColumn(
+        "want", F.row_number().over(Window.orderBy("parent_seq", "pos")) + 99
+    )
+    joined = got.join(naive, ["parent_seq", "pos", "url"])
+    assert joined.filter(F.col("seq") != F.col("want")).count() == 0
+
+
+def test_empty_input(spark):
+    df = spark.createDataFrame([], "parent_seq long, pos int")
+    got, n = assign_global_seq(df, start=0)
+    assert n == 0 and got.count() == 0

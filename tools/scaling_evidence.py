@@ -1,0 +1,96 @@
+"""Two-parallelism scaling evidence (BASELINE.md sandbox protocol).
+
+No real cluster exists in the sandbox, so the north rule's N-vs-4N
+executor criterion is evidenced by running the SAME crawl job on the
+SAME cached corpus at local[8] and local[32] and reporting:
+
+    efficiency = (T32 / T8) / 4        (target >= 0.8)
+
+where T_n = URLs scheduled+deduped per second. Each level runs in a
+fresh subprocess (a JVM can't change master mid-flight); identical
+Spark confs apart from local[N]. Results land in BENCH.md.
+
+Usage: python tools/scaling_evidence.py [n_docs] [out_md]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_level(cpus: int, n_docs: int) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_BENCH_MODE="crawl",
+        SPARK_GRAFT_CRAWL_DOCS=str(n_docs),
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)["crawl"]
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 120_000
+    out_md = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "BENCH.md")
+    # warm the corpus cache once so neither level pays generation
+    run_level(8, 1000)
+
+    r8 = run_level(8, n_docs)
+    r32 = run_level(32, n_docs)
+    t8, t32 = r8["urls_per_sec"], r32["urls_per_sec"]
+    eff = (t32 / t8) / 4
+    body = f"""# BENCH — crawl throughput + scaling evidence
+
+North-rule metric: URLs scheduled+deduped per second (claim batch +
+links pushed through canonicalize/dedup per wall-clock second), real
+engine end-to-end (fetch-join, Arrow extraction, Bloom-prefiltered
+anti-joins, seq assignment, state materialization).
+
+Input: deterministic synthetic web, {n_docs} docs, 40 hosts, 8
+links/doc, hot-host share 0.3 (skewed); production mode (per-host
+window budgets 4096, Bloom on). Identical confs at both levels (AQE on,
+Arrow on, UTC); only `local[N]` differs — the sandbox stand-in for the
+N vs 4N executor criterion (BASELINE.md protocol).
+
+| parallelism | rounds | URLs claimed | links deduped | wall (s) | URLs/s |
+|---|---|---|---|---|---|
+| local[8]  | {r8["rounds"]} | {r8["urls_claimed"]} | {r8["links_deduped"]} | {r8["wall_sec"]} | {t8} |
+| local[32] | {r32["rounds"]} | {r32["urls_claimed"]} | {r32["links_deduped"]} | {r32["wall_sec"]} | {t32} |
+
+**Scaling efficiency (T32 / T8) / 4 = {eff:.3f}** (target >= 0.8)
+
+## 10^10 design-point extrapolation
+
+Per-round work is linear in (claimed + discovered links): extraction and
+canonicalization are per-link Arrow batches; dedup is one hash shuffle of
+the round's links plus a Bloom-prefiltered anti-join whose residue is the
+false-positive mass (fpp ~1%). At a 10^10-entry frontier the per-round
+structures that must NOT be O(frontier) are:
+- the claim: window-rank per host over the *pending* partition only
+  (status-partitioned storage prunes completed mass);
+- the seen-set probe: sharded Bloom (~12 GB bits at 1% fpp) split across
+  `pmod(url_hash, shards)` so each task faults in one shard
+  (operators/bloom.py ShardedBloom); the ground-truth anti-join touches
+  only the ~1% residue;
+- seq assignment: bucketed rank (plans/seq.py) — driver traffic is one
+  row per 4096-parent bucket, never per URL.
+"""
+    with open(out_md, "w") as f:
+        f.write(body)
+    print(json.dumps({"t8": t8, "t32": t32, "efficiency": round(eff, 3)}))
+
+
+if __name__ == "__main__":
+    main()
