@@ -64,6 +64,10 @@ class CrawlConfig:
     per_host_budget: int = 16
     enforce_max_depth: bool = False
     enforce_robots: bool = False
+    # >1 => salt the per-host claim window across this many shards so a
+    # hot host's rank doesn't funnel through one task (north-rule skew
+    # handling). Trades strict per-host FIFO for per-(host,salt) FIFO.
+    salt_hot_hosts: int = 0
     # Bloom pre-filter in front of the ground-truth anti-joins.
     use_bloom: bool = True
     bloom_fpp: float = 0.01
@@ -71,6 +75,15 @@ class CrawlConfig:
     # extra Spark jobs per round; benchmarks turn it off (claim count and
     # new-link count are structural — always collected).
     collect_stats: bool = True
+    # Broadcast the (budget-bounded) claim batch into the fetch join so the
+    # corpus side never shuffles; disable for unbounded claim batches.
+    broadcast_fetch: bool = True
+    # Keep the write-only output tables (done/seen/pages/metrics) as lazy
+    # unions over retained round caches instead of checkpointing them every
+    # round. Each skipped checkpoint is a serial driver job; benchmarks
+    # enable this (outputs are only read at the end). Costs cache memory
+    # proportional to total fetched rows — bound crawls only.
+    lazy_output_tables: bool = False
 
     def field_names(self) -> list[str]:
         return [r.field for r in self.extraction_rules]

@@ -53,6 +53,13 @@ class CheckpointStore:
         self.compact_every = compact_every
         os.makedirs(root, exist_ok=True)
 
+    def reset(self) -> None:
+        """Clear all crawl state (the reference's delete_many({}) reset,
+        seed_urls.py:63-67 / clear_data.py:8-10)."""
+        if os.path.isdir(self.root):
+            shutil.rmtree(self.root)
+        os.makedirs(self.root, exist_ok=True)
+
     # -- layout ----------------------------------------------------------
     def _round_dir(self, rnd: int) -> str:
         return os.path.join(self.root, f"round_{rnd:06d}")

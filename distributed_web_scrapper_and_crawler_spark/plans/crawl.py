@@ -8,6 +8,8 @@ so iterative unions don't stack into an ever-deeper plan.
 
 from __future__ import annotations
 
+import os
+
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -36,6 +38,14 @@ class CrawlEngine:
     state: CrawlState | None = None
     bloom: NumpyBloom | None = None
     round_stats: list[dict] = field(default_factory=list)
+    _retained_caches: list = field(default_factory=list)
+
+    def flush_caches(self) -> None:
+        """Release caches retained by lazy_output_tables (materialize the
+        output tables first if you still need them cheaply)."""
+        for c in self._retained_caches:
+            c.unpersist()
+        self._retained_caches.clear()
 
     def __post_init__(self):
         self.store = (
@@ -198,18 +208,41 @@ class CrawlEngine:
                 return max(1, min(64, n // 200_000 + 1))
 
             prev = self.state
-            d = {k: v.localCheckpoint() for k, v in res.deltas.items() if k != "enqueued"}
-            d["enqueued"] = res.deltas["enqueued"].coalesce(npart(st["links_new"])).localCheckpoint()
+            lazy_names = (
+                ("done", "seen", "pages", "metrics") if self.cfg.lazy_output_tables else ()
+            )
+            todo = {
+                k: v for k, v in res.deltas.items() if k != "enqueued" and k not in lazy_names
+            }
+            todo["enqueued"] = res.deltas["enqueued"].coalesce(npart(st["links_new"]))
+            todo["pending"] = res.state.pending.coalesce(npart(res.state.pending_count))
+            if os.environ.get("DWSC_CONCURRENT_CKPT"):
+                # experimental: concurrent submission of the independent
+                # checkpoint jobs — measured SLOWER on local mode (jobs
+                # contend for the same executor threads and cache scans);
+                # kept behind a flag for real-cluster experiments.
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=len(todo)) as ex:
+                    futs = {k: ex.submit(v.localCheckpoint) for k, v in todo.items()}
+                    d = {k: f.result() for k, f in futs.items()}
+            else:
+                d = {k: v.localCheckpoint() for k, v in todo.items()}
+            for k in lazy_names:
+                d[k] = res.deltas[k]  # lazy: plan over retained caches
             self.state = res.state.evolve(
-                pending=res.state.pending.coalesce(npart(res.state.pending_count)).localCheckpoint(),
+                pending=d["pending"],
                 done=prev.done.unionByName(d["done"]),
                 seen=prev.seen.unionByName(d["seen"]),
                 enqueued=prev.enqueued.unionByName(d["enqueued"]),
                 pages=prev.pages.unionByName(d["pages"]),
                 metrics=prev.metrics.unionByName(d["metrics"]),
             )
-        for c in res.caches:
-            c.unpersist()
+        if self.cfg.lazy_output_tables and not durable:
+            self._retained_caches.extend(res.caches)  # lazy deltas still need them
+        else:
+            for c in res.caches:
+                c.unpersist()
 
     # -- observability ----------------------------------------------------
     def claim_order(self) -> list[str]:

@@ -31,6 +31,22 @@ def claim_batch(pending: DataFrame, cfg: CrawlConfig) -> DataFrame:
     if cfg.parity_mode:
         # TakeOrderedAndProject — no single-partition window even at scale
         return pending.orderBy("seq").limit(cfg.round_budget)
+    if cfg.salt_hot_hosts > 1:
+        # hot-host salting (north rule): a host holding e.g. 90% of the
+        # frontier would funnel its whole window through one task. Salt
+        # splits each host's rank across S shards, each claiming
+        # budget/S — per-(host,salt) FIFO instead of strict per-host
+        # FIFO, an explicitly documented approximation for skewed
+        # frontiers. Claims per host stay <= per_host_budget.
+        s = cfg.salt_hot_hosts
+        per_shard = max(1, cfg.per_host_budget // s)
+        w = Window.partitionBy("host", "_salt").orderBy("depth", "seq")
+        return (
+            pending.withColumn("_salt", F.pmod(F.col("url_hash"), F.lit(s)))
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= per_shard)
+            .drop("_rk", "_salt")
+        )
     w = Window.partitionBy("host").orderBy("depth", "seq")
     return (
         pending.withColumn("_rk", F.row_number().over(w))

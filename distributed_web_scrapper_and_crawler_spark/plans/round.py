@@ -84,6 +84,11 @@ def run_round(
     def _mark(name: str, t_start: float) -> None:
         phase_t[name] = round(time.monotonic() - t_start, 3)
 
+    # exact pending_count is tracked arithmetically — drain detection is
+    # free, no claim job needed to discover an empty frontier
+    if state.pending_count == 0:
+        return RoundResult(state, {}, {"round": rnd, "urls_claimed": 0}, drained=True)
+
     t = time.monotonic()
     claim = claim_batch(state.pending, cfg).cache()
     n_claimed = claim.count()
@@ -95,8 +100,14 @@ def run_round(
     rest_pending = state.pending.join(claim.select("url_hash", "url"), ["url_hash", "url"], "left_anti")
 
     # -- fetch: join the claimed batch against the corpus (the "network") --
+    # The claim batch is budget-bounded (small); the corpus is the 100 TB
+    # side. Broadcasting the claim keeps the corpus UNSHUFFLED — without
+    # it every round pays a full corpus exchange. On a real cluster the
+    # equivalent is a bucket join on the Iceberg corpus; flag off for
+    # unbounded claim batches.
     corpus_keyed = corpus.withColumnRenamed("doc_id", "url")
-    fetched = claim.join(corpus_keyed, "url", "inner").cache()
+    claim_side = F.broadcast(claim) if cfg.broadcast_fetch else claim
+    fetched = claim_side.join(corpus_keyed, "url", "inner").cache()
     failed = claim.join(fetched.select("url_hash", "url"), ["url_hash", "url"], "left_anti")
 
     # -- pages: field extraction + ordered span sequence -------------------

@@ -15,6 +15,14 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
 
+def _default_local_dir() -> str:
+    if os.path.isdir("/dev/shm"):
+        d = "/dev/shm/dwsc-spark-local"
+        os.makedirs(d, exist_ok=True)
+        return d
+    return "/tmp"
+
+
 def get_spark(
     app_name: str = "dwsc-spark",
     master: str | None = None,
@@ -43,6 +51,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # shuffle/spill scratch on tmpfs when available: local-mode shuffles
+        # otherwise serialize on ext4 write latency and mask CPU scaling
+        .config("spark.local.dir", os.environ.get("SPARK_GRAFT_LOCAL_DIR", _default_local_dir()))
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -1,0 +1,75 @@
+"""Dedup operator semantics on hand-built micro-tables (cross-engine value
+parity is covered separately by tools/selfcheck.py's DuckDB oracles)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_web_scrapper_and_crawler_spark.operators import ann, dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keep_first(spark):
+    df = _docs(spark, [(1, "same text"), (5, "same text"), (3, "same text"), (2, "other")])
+    survivors = sorted(r["doc_id"] for r in dedup.exact_dedup_keep_first(df, "doc_id", "text").collect())
+    assert survivors == [1, 2]
+    stats = dedup.exact_dup_stats(df, "doc_id", "text").collect()[0]
+    assert (stats["n_docs"], stats["n_unique"], stats["n_dup_docs"]) == (4, 2, 2)
+
+
+def test_jaccard_identical_and_disjoint(spark):
+    df = _docs(spark, [(1, "abcdefghijkl"), (2, "abcdefghijkl"), (3, "zzzzyyyyxxxxw")])
+    pairs = {(r["a"], r["b"]): r["jaccard"] for r in
+             dedup.ngram_jaccard_pairs(df, "doc_id", "text", n=8, threshold=0.0).collect()}
+    assert pairs[(1, 2)] == 1.0  # identical docs
+    assert (1, 3) not in pairs and (2, 3) not in pairs  # no shared shingles
+
+
+def test_minhash_identical_docs_share_all_signatures(spark):
+    df = _docs(spark, [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"), (3, "completely different words here")])
+    mh = dedup.minhash_table(df, "doc_id", "text", n_hashes=8, ngram=8)
+    sigs = {(r["id"], r["h"]): r["minhash"] for r in mh.collect()}
+    assert all(sigs[(1, h)] == sigs[(2, h)] for h in range(8))
+    # LSH must surface the identical pair
+    cands = {(r["a"], r["b"]) for r in dedup.lsh_candidate_pairs(mh).collect()}
+    assert (1, 2) in cands
+
+
+def test_simhash_identical_equal_and_bits_bounded(spark):
+    df = _docs(spark, [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta epsilon zeta eta")])
+    sh = {r["id"]: r["simhash"] for r in dedup.simhash(df, "doc_id", "text", bits=16).collect()}
+    assert sh[1] == sh[2]
+    assert all(0 <= v < (1 << 16) for v in sh.values())
+
+
+def test_cosine_topk_exact_neighbors(spark):
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 1.0]),
+        (3, [1.0, 0.05]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    res = ann.cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=2)
+    got = [(r["neighbor_id"], r["rank"]) for r in res.orderBy("rank").collect()]
+    assert got == [(3, 1), (1, 2)]  # 3 is closest to 0, then 1
+
+
+def test_lsh_ann_subset_of_bruteforce_universe(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") < 3)
+    approx = ann.lsh_ann_topk(emb, q, k=3, n_planes=2)
+    rowsa = approx.collect()
+    assert len(rowsa) > 0
+    # every returned neighbor shares the query's bucket by construction;
+    # scores must match the exact cosine for those pairs
+    exact = {(r["q_id"], r["neighbor_id"]): r["score"] for r in ann.cosine_topk(emb, q, k=49).collect()}
+    for r in rowsa:
+        assert abs(exact[(r["q_id"], r["neighbor_id"])] - r["score"]) < 1e-9

@@ -46,6 +46,24 @@ def test_depth_orders_before_seq(spark):
     assert claim_batch(pending, cfg).collect()[0]["url"] == "http://h.t/b"
 
 
+def test_salted_claim_respects_budget(spark):
+    rows = [
+        (f"http://hot.t/p{i}", i * 7919, "hot.t", 0, 0, i, "x") for i in range(200)
+    ] + [(f"http://cold.t/p{i}", i * 104729 + 3, "cold.t", 0, 0, 1000 + i, "x") for i in range(3)]
+    pending = spark.createDataFrame(
+        rows, "url string, url_hash long, host string, depth int, discovered_round int, seq long, added_by string"
+    )
+    cfg = CrawlConfig(parity_mode=False, per_host_budget=16, salt_hot_hosts=4)
+    claim = claim_batch(pending, cfg)
+    per_host = {r["host"]: r["n"] for r in claim.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    assert per_host["hot.t"] <= 16  # never exceeds the politeness budget
+    assert per_host["hot.t"] >= 8  # shards spread the hot host's claims
+    assert per_host["cold.t"] == 3
+    # deterministic: same input => same claim set
+    again = {r["url"] for r in claim_batch(pending, cfg).collect()}
+    assert again == {r["url"] for r in claim.collect()}
+
+
 def test_robots_prefix_filter(spark):
     links = spark.createDataFrame(
         [
