@@ -1,0 +1,172 @@
+"""Additional OLAP surface: rollup/grouping sets, pivot, running windows,
+as-of joins, exact percentiles, approx-distinct, and a streaming query —
+the guide's common OLAP patterns, each with a DuckDB oracle where the
+semantics are engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from distributed_web_scrapper_and_crawler_spark.analytics.queries import q, t
+
+
+@q(
+    "rollup_orders",
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+              coalesce(o_orderpriority, 'ALL') AS priority,
+              count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+       FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+       ORDER BY status, priority""",
+    doc="rollup: hierarchical subtotals in one pass (status -> priority -> grand total)",
+)
+def rollup_orders(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "revenue",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@q(
+    "pivot_events_daily",
+    """SELECT strftime(ts, '%Y-%m-%d') AS day,
+              count(*) FILTER (WHERE event_type = 'click') AS click,
+              count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+              count(*) FILTER (WHERE event_type = 'view') AS view
+       FROM events GROUP BY 1 ORDER BY day""",
+    doc="pivot: event types to columns (Spark .pivot == SQL FILTER aggregation)",
+)
+def pivot_events_daily(spark, sf_dir):
+    out = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", ["click", "purchase", "view"])
+        .agg(F.count(F.lit(1)))
+        .orderBy("day")
+    )
+    # pivot leaves nulls where a (day, type) pair is absent; oracle FILTER
+    # yields 0 — align
+    return out.select(
+        "day",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ("click", "purchase", "view")],
+    )
+
+
+@q(
+    "running_revenue",
+    """SELECT o_custkey, o_orderkey,
+              round(sum(o_totalprice) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+       FROM orders WHERE o_custkey < 50
+       ORDER BY o_custkey, o_orderkey""",
+    doc="running aggregate per key (window frame)",
+)
+def running_revenue(spark, sf_dir):
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 50)
+        .select("o_custkey", "o_orderkey", F.round(F.sum("o_totalprice").over(w), 2).alias("running"))
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@q(
+    "asof_latest_event",
+    """SELECT p.event_id,
+              strftime(max(c.ts), '%Y-%m-%d %H:%M:%S') AS last_click_ts
+       FROM events p JOIN events c
+         ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+       WHERE p.event_type = 'purchase' AND p.event_id < 2000
+       GROUP BY p.event_id ORDER BY p.event_id""",
+    doc="as-of join: latest click at-or-before each purchase per user (range join + max)",
+)
+def asof_latest_event(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    p = ev.filter((F.col("event_type") == "purchase") & (F.col("event_id") < 2000)).select(
+        "event_id", F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    joined = p.join(c, (F.col("c_user") == F.col("p_user")) & (F.col("c_ts") <= F.col("p_ts")))
+    return (
+        joined.groupBy("event_id")
+        .agg(F.date_format(F.max("c_ts"), "yyyy-MM-dd HH:mm:ss").alias("last_click_ts"))
+        .orderBy("event_id")
+    )
+
+
+@q(
+    "revenue_percentiles",
+    """SELECT round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+              round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+              round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+       FROM orders""",
+    doc="exact interpolated percentiles (Spark percentile == DuckDB quantile_cont)",
+)
+def revenue_percentiles(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+@q(
+    "approx_distinct_parts",
+    None,  # HLL sketches are engine-specific — rows-only check; the exact
+    # countDistinct twin is oracle-checked in stats_endpoint
+    doc="approx_count_distinct (HLL) — the 10^10-scale substitute for exact distinct",
+)
+def approx_distinct_parts(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@q(
+    "stream_status_counts",
+    None,  # Structured Streaming — executed via the memory sink; rows-only
+    doc="streaming: watermarked tumbling-window event counts driven to completion",
+)
+def stream_status_counts(spark, sf_dir):
+    from distributed_web_scrapper_and_crawler_spark.streaming.rounds_stream import (
+        windowed_event_counts,
+    )
+
+    events = t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix="dwsc_stream_src_")
+    events.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    agg = windowed_event_counts(stream, window="1 day", watermark="1 hour")
+    qname = "dwsc_stream_status_counts"
+    query = agg.writeStream.outputMode("complete").format("memory").queryName(qname).start()
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return (
+        spark.table(qname)
+        .select(F.date_format("window_start", "yyyy-MM-dd").alias("day"), "event_type", "n")
+        .orderBy("day", "event_type")
+    )

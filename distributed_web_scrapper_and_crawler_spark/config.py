@@ -68,9 +68,12 @@ class CrawlConfig:
     # hot host's rank doesn't funnel through one task (north-rule skew
     # handling). Trades strict per-host FIFO for per-(host,salt) FIFO.
     salt_hot_hosts: int = 0
-    # Bloom pre-filter in front of the ground-truth anti-joins.
+    # Pre-filter in front of the ground-truth anti-joins.
     use_bloom: bool = True
     bloom_fpp: float = 0.01
+    # 'bloom' (default, mergeable partials, the 10^10 path) or 'cuckoo'
+    # (supports DELETE => cancelled-URL re-admission without a rebuild).
+    seen_filter: str = "bloom"
     # Collect per-round link/fetch counts for the metrics table. Costs two
     # extra Spark jobs per round; benchmarks turn it off (claim count and
     # new-link count are structural — always collected).

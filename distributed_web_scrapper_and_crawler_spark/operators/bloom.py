@@ -176,6 +176,44 @@ def bloom_maybe_contains_udf(spark, bloom: NumpyBloom):
     return _maybe
 
 
+def filter_maybe_contains_udf(spark, filt):
+    """Generic membership probe for any filter with ``contains(int64[])``
+    (NumpyBloom uses the specialized zero-copy path above; CuckooFilter
+    and ShardedBloom broadcast as pickled objects)."""
+    if isinstance(filt, NumpyBloom):
+        return bloom_maybe_contains_udf(spark, filt)
+    bc = spark.sparkContext.broadcast(filt)
+
+    @F.pandas_udf("boolean")
+    def _maybe(h: pd.Series) -> pd.Series:
+        return pd.Series(bc.value.contains(np.asarray(h, dtype=np.int64)))
+
+    return _maybe
+
+
+def add_df_to_filter(filt, df: DataFrame, hash_col: str = "url_hash"):
+    """Fold a DataFrame's hashes into a seen-filter.
+
+    Bloom uses mergeable per-partition partials (10^10-safe). Cuckoo
+    tables don't merge (kick-out chains), so the cuckoo path ships raw
+    hash arrays per partition to the driver — fine at the deletable-
+    entry scale it exists for (cancelled-URL re-admission), documented
+    as NOT the 10^10 path."""
+    if isinstance(filt, NumpyBloom):
+        return add_df_to_bloom(filt, df, hash_col)
+
+    def per_partition(it):
+        for pdf in it:
+            if len(pdf):
+                yield pd.DataFrame(
+                    {"hashes": [np.asarray(pdf[hash_col], dtype=np.int64).tobytes()]}
+                )
+
+    for row in df.select(hash_col).mapInPandas(per_partition, "hashes binary").collect():
+        filt.insert(np.frombuffer(row["hashes"], dtype=np.int64))
+    return filt
+
+
 class ShardedBloom:
     """Bloom bits sharded by ``pmod(hash, n_shards)`` — the 10^10 design.
 

@@ -20,7 +20,10 @@ from distributed_web_scrapper_and_crawler_spark.functions.canonicalize import (
     allowed_domain_filter,
     canonicalize_udf,
 )
-from distributed_web_scrapper_and_crawler_spark.operators.bloom import NumpyBloom, add_df_to_bloom
+from distributed_web_scrapper_and_crawler_spark.operators.bloom import (
+    NumpyBloom,
+    add_df_to_filter,
+)
 from distributed_web_scrapper_and_crawler_spark.plans.checkpoint import CheckpointStore
 from distributed_web_scrapper_and_crawler_spark.plans.round import run_round
 from distributed_web_scrapper_and_crawler_spark.plans.state import CrawlState, empty_state
@@ -52,7 +55,14 @@ class CrawlEngine:
             CheckpointStore(self.spark, self.ckpt_dir) if self.ckpt_dir else None
         )
         if self.cfg.use_bloom:
-            self.bloom = NumpyBloom.sized(self.bloom_capacity, self.cfg.bloom_fpp)
+            self.bloom = self._new_filter()
+
+    def _new_filter(self):
+        if self.cfg.seen_filter == "cuckoo":
+            from distributed_web_scrapper_and_crawler_spark.operators.bloom import CuckooFilter
+
+            return CuckooFilter(capacity=self.bloom_capacity)
+        return NumpyBloom.sized(self.bloom_capacity, self.cfg.bloom_fpp)
 
     # -- seeding (scheduler.py:62-117 / seed_urls.py:32-94) ---------------
     def seed(self, urls: list[str]) -> CrawlState:
@@ -90,7 +100,7 @@ class CrawlEngine:
             pending_count=n,
         )
         if self.bloom is not None and n:
-            add_df_to_bloom(self.bloom, pending, "url_hash")
+            add_df_to_filter(self.bloom, pending, "url_hash")
         if self.store is not None:
             # commit the seeded state as round -1: the seeds' enqueued-set
             # membership must survive a restart or they would be re-crawled
@@ -133,13 +143,55 @@ class CrawlEngine:
         n = rows.count()
         if n:
             if self.bloom is not None:
-                add_df_to_bloom(self.bloom, rows, "url_hash")
+                add_df_to_filter(self.bloom, rows, "url_hash")
             self.state = st.evolve(
                 pending=st.pending.unionByName(rows),
                 enqueued=st.enqueued.unionByName(rows.select("url", "url_hash")),
                 max_seq=st.max_seq + n,
                 pending_count=st.pending_count + n,
             )
+        return n
+
+    def cancel(self) -> int:
+        """Stop-crawl: bulk pending -> cancelled (app.py:611-633)."""
+        from distributed_web_scrapper_and_crawler_spark.plans.politeness import cancel_pending
+
+        assert self.state is not None
+        st = self.state
+        n = st.pending_count
+        new_pending, new_done = cancel_pending(st.pending, st.done, rnd=st.round + 1)
+        self.state = st.evolve(pending=new_pending.localCheckpoint(), done=new_done, pending_count=0)
+        return n
+
+    def readmit_cancelled(self) -> int:
+        """Make cancelled URLs enqueueable again — the deletable-entry path
+        the reference cannot express (its "any status" queue check blocks
+        cancelled URLs forever, server.py:440-443). Removes them from the
+        ``enqueued`` key set and the seen-filter: a CuckooFilter deletes
+        in place; a Bloom filter cannot delete, so it is rebuilt from the
+        ground truth (the documented cost of choosing bloom over cuckoo
+        when cancellation traffic exists)."""
+        assert self.state is not None
+        st = self.state
+        cancelled = st.done.filter(F.col("status") == "cancelled").select("url", "url_hash")
+        cancelled = cancelled.localCheckpoint()
+        n = cancelled.count()
+        if n == 0:
+            return 0
+        new_enqueued = st.enqueued.join(cancelled, ["url_hash", "url"], "left_anti").localCheckpoint()
+        new_done = st.done.filter(F.col("status") != "cancelled").localCheckpoint()
+        self.state = st.evolve(enqueued=new_enqueued, done=new_done)
+        if self.bloom is not None:
+            from distributed_web_scrapper_and_crawler_spark.operators.bloom import CuckooFilter
+
+            if isinstance(self.bloom, CuckooFilter):
+                hashes = [r["url_hash"] for r in cancelled.select("url_hash").collect()]
+                import numpy as np
+
+                self.bloom.delete(np.asarray(hashes, dtype=np.int64))
+            else:
+                self.bloom = self._new_filter()
+                add_df_to_filter(self.bloom, new_enqueued, "url_hash")
         return n
 
     def resume(self) -> CrawlState:
@@ -149,8 +201,8 @@ class CrawlEngine:
         assert self.store is not None, "resume requires ckpt_dir"
         self.state = self.store.load_state(self.cfg.field_names())
         if self.cfg.use_bloom:
-            self.bloom = NumpyBloom.sized(max(self.bloom_capacity, 1024), self.cfg.bloom_fpp)
-            add_df_to_bloom(self.bloom, self.state.enqueued, "url_hash")
+            self.bloom = self._new_filter()
+            add_df_to_filter(self.bloom, self.state.enqueued, "url_hash")
         return self.state
 
     # -- the loop ---------------------------------------------------------

@@ -43,8 +43,8 @@ from distributed_web_scrapper_and_crawler_spark.functions.canonicalize import (
 )
 from distributed_web_scrapper_and_crawler_spark.operators.bloom import (
     NumpyBloom,
-    add_df_to_bloom,
-    bloom_maybe_contains_udf,
+    add_df_to_filter,
+    filter_maybe_contains_udf,
 )
 from distributed_web_scrapper_and_crawler_spark.operators.extract import (
     extract_fields_udf,
@@ -155,7 +155,7 @@ def run_round(
 
     # -- cross-round dedup: bloom prefilter + ground-truth anti-join -------
     if bloom is not None and cfg.use_bloom:
-        maybe = bloom_maybe_contains_udf(spark, bloom)
+        maybe = filter_maybe_contains_udf(spark, bloom)
         flagged = unique_links.withColumn("_maybe", maybe("url_hash"))
         definite_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
         residue = (
@@ -202,7 +202,7 @@ def run_round(
 
     if bloom is not None and cfg.use_bloom and n_new:
         t = time.monotonic()
-        add_df_to_bloom(bloom, new_links, "url_hash")
+        add_df_to_filter(bloom, new_links, "url_hash")
         _mark("bloom_add", t)
 
     wall_ms = int((time.monotonic() - t0) * 1000)
