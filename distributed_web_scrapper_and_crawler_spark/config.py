@@ -59,9 +59,15 @@ class CrawlConfig:
     # lowest-seq ``round_budget`` pending URLs (global FIFO == reference
     # order); in production mode it is a per-host window budget.
     round_budget: int = 1024
-    # production-mode politeness: max URLs per host per round
-    # (= floor(round_duration / crawl_delay) in the north rule).
+    # production-mode politeness: max URLs per host per round. When
+    # ``round_duration_s`` is set, the effective budget is DERIVED as
+    # floor(round_duration_s / rate_limit) per the north rule — a host
+    # with crawl_delay 1.0s inside a 16s scheduling round gets 16 claims;
+    # ``per_host_budget`` then acts as a hard ceiling. With
+    # ``round_duration_s=None`` the count knob stands alone (round-1
+    # behavior, kept for benchmarks that want explicit fat batches).
     per_host_budget: int = 16
+    round_duration_s: float | None = None
     enforce_max_depth: bool = False
     enforce_robots: bool = False
     # >1 => salt the per-host claim window across this many shards so a
@@ -71,9 +77,13 @@ class CrawlConfig:
     # Pre-filter in front of the ground-truth anti-joins.
     use_bloom: bool = True
     bloom_fpp: float = 0.01
-    # 'bloom' (default, mergeable partials, the 10^10 path) or 'cuckoo'
-    # (supports DELETE => cancelled-URL re-admission without a rebuild).
+    # 'bloom' (default: one flat filter, mergeable partials),
+    # 'sharded' (bits split by pmod(url_hash, bloom_shards) — the 10^10
+    # path: no single broadcast/merge exceeds one shard's bits), or
+    # 'cuckoo' (supports DELETE => cancelled-URL re-admission without a
+    # rebuild; degrades to always-maybe after overflow/delete).
     seen_filter: str = "bloom"
+    bloom_shards: int = 16
     # Collect per-round link/fetch counts for the metrics table. Costs two
     # extra Spark jobs per round; benchmarks turn it off (claim count and
     # new-link count are structural — always collected).

@@ -65,7 +65,13 @@ _CANON_SCHEMA = T.StructType(
 
 
 def canonicalize_udf(parity: bool = True):
-    """pandas UDF: raw url -> struct(url, host, path) under the given mode."""
+    """pandas UDF: raw url -> struct(url, host, path) under the given mode.
+
+    In parity mode ``host`` is the RAW netloc — the reference's allow
+    filter substring-matches the unlowered netloc
+    (``any(d in parsed.netloc)``, distributed_crawler.py:67-73), so a
+    mixed-case host must stay mixed-case for the filter to agree.
+    Production mode lowercases (part of full canonicalization)."""
 
     canon = normalize_url_py if parity else canonicalize_url_py
 
@@ -74,7 +80,7 @@ def canonicalize_udf(parity: bool = True):
         out_url, out_host, out_path = [], [], []
         for u in urls:
             s = urlsplit(u if u is not None else "")
-            out_host.append(s.netloc.lower())
+            out_host.append(s.netloc if parity else s.netloc.lower())
             out_path.append(s.path or "/")
             out_url.append(canon(u) if u is not None else None)
         return pd.DataFrame({"url": out_url, "host": out_host, "path": out_path})
@@ -86,10 +92,11 @@ def allowed_domain_filter(host_col, allowed_domains: tuple[str, ...]):
     """Column predicate: reference's substring-on-netloc allow filter.
 
     ``any(domain in parsed.netloc for domain in allowed_domains)``
-    (distributed_crawler.py:67-73) — deliberately substring, not
-    suffix, for parity. Pure Catalyst (no UDF): OR of ``contains``.
+    (distributed_crawler.py:67-73) — deliberately substring, not suffix,
+    and CASE-SENSITIVE on the domain string exactly like the reference,
+    for parity. Pure Catalyst (no UDF): OR of ``contains``.
     """
     pred = F.lit(False)
     for d in allowed_domains:
-        pred = pred | host_col.contains(d.lower())
+        pred = pred | host_col.contains(d)
     return pred

@@ -194,24 +194,77 @@ def filter_maybe_contains_udf(spark, filt):
 def add_df_to_filter(filt, df: DataFrame, hash_col: str = "url_hash"):
     """Fold a DataFrame's hashes into a seen-filter.
 
-    Bloom uses mergeable per-partition partials (10^10-safe). Cuckoo
-    tables don't merge (kick-out chains), so the cuckoo path ships raw
-    hash arrays per partition to the driver — fine at the deletable-
-    entry scale it exists for (cancelled-URL re-admission), documented
-    as NOT the 10^10 path."""
+    Bloom and ShardedBloom use mergeable per-partition partials
+    (10^10-safe — driver traffic is bitmaps/sparse indices, never raw
+    keys). Cuckoo tables don't merge (kick-out chains), so the cuckoo
+    path ships raw hash arrays per partition to the driver — fine at the
+    deletable-entry scale it exists for (cancelled-URL re-admission),
+    documented as NOT the 10^10 path; the stream is drained through
+    ``toLocalIterator`` in per-partition chunks so the driver never
+    materializes the whole key set at once, and partitions are capped at
+    ~1M keys each so no single chunk can OOM the driver either."""
     if isinstance(filt, NumpyBloom):
         return add_df_to_bloom(filt, df, hash_col)
+    if isinstance(filt, ShardedBloom):
+        return add_df_to_sharded(filt, df, hash_col)
+
+    _CHUNK = 1 << 20  # keys per emitted row — bounds driver memory per chunk
 
     def per_partition(it):
         for pdf in it:
-            if len(pdf):
-                yield pd.DataFrame(
-                    {"hashes": [np.asarray(pdf[hash_col], dtype=np.int64).tobytes()]}
-                )
+            h = np.asarray(pdf[hash_col], dtype=np.int64)
+            for lo in range(0, len(h), _CHUNK):
+                yield pd.DataFrame({"hashes": [h[lo : lo + _CHUNK].tobytes()]})
 
-    for row in df.select(hash_col).mapInPandas(per_partition, "hashes binary").collect():
+    rows = df.select(hash_col).mapInPandas(per_partition, "hashes binary")
+    for row in rows.toLocalIterator():  # chunked fold — one partition in flight
         filt.insert(np.frombuffer(row["hashes"], dtype=np.int64))
     return filt
+
+
+def add_df_to_sharded(sb: "ShardedBloom", df: DataFrame, hash_col: str = "url_hash") -> "ShardedBloom":
+    """Distributed mergeable fold into a ShardedBloom — the 10^10 path.
+
+    Each partition groups its keys by shard id and emits ONE adaptive
+    partial per (shard, partition): the smaller of the shard's OR'd
+    bitmap or the sparse set-bit index list. The driver merges per shard.
+    On a real cluster this becomes a groupBy(shard) so each reducer
+    builds exactly its own shard; in local mode the driver-side merge is
+    the same O(bits) work without the extra shuffle."""
+    n_shards = sb.n_shards
+    n_bits, k = sb.shards[0].n_bits, sb.shards[0].k
+    bitmap_bytes = n_bits // 8
+
+    def per_partition(it):
+        hashes = []
+        for pdf in it:
+            if len(pdf):
+                hashes.append(np.asarray(pdf[hash_col], dtype=np.int64))
+        if not hashes:
+            return
+        u = np.concatenate(hashes).view(np.uint64)
+        sid = (u % np.uint64(n_shards)).astype(np.int64)
+        out_shard, out_mode, out_payload = [], [], []
+        for s in np.unique(sid):
+            h = u[sid == s].view(np.int64)
+            if h.size * k * 8 < bitmap_bytes:
+                proto = NumpyBloom(n_bits, k)
+                idx = np.unique(proto.indices_for(h))
+                out_shard.append(int(s)); out_mode.append("idx"); out_payload.append(idx.tobytes())
+            else:
+                part = NumpyBloom(n_bits, k)
+                part.add(h)
+                out_shard.append(int(s)); out_mode.append("bitmap"); out_payload.append(part.to_bytes())
+        yield pd.DataFrame({"shard": out_shard, "mode": out_mode, "payload": out_payload})
+
+    rows = df.select(hash_col).mapInPandas(per_partition, "shard int, mode string, payload binary")
+    for row in rows.toLocalIterator():
+        shard = sb.shards[row["shard"]]
+        if row["mode"] == "idx":
+            shard.set_indices(np.frombuffer(row["payload"], dtype=np.uint64))
+        else:
+            shard.merge(NumpyBloom.from_bytes(row["payload"], n_bits, k))
+    return sb
 
 
 class ShardedBloom:
@@ -238,6 +291,10 @@ class ShardedBloom:
         for s in np.unique(sid):
             self.shards[int(s)].add(u[sid == s].view(np.int64))
 
+    # generic-filter interface parity: the engine's fold path calls
+    # insert(); for a sharded bloom that's just add (no kick-out chains)
+    insert = add
+
     def contains(self, h) -> np.ndarray:
         u = _as_u64(h)
         sid = self._shard_of(u)
@@ -254,6 +311,14 @@ class CuckooFilter:
     Used where Bloom can't go: the ``cancelled -> re-admissible`` path
     (app.py:611-633 stop-crawl analog) needs membership *removal*.
     Pure numpy; vectorized lookups, per-key kickout loop on insert.
+
+    Unlike a Bloom filter, a cuckoo table CAN produce false negatives:
+    (a) a full table drops keys on failed insert; (b) ``delete`` may
+    evict a colliding 16-bit fingerprint belonging to a *different* key.
+    Either event sets ``degraded`` — the engine then stops trusting
+    "definitely new" answers and routes every link through the
+    ground-truth anti-join (plans/round.py), so a degraded filter costs
+    performance, never correctness.
     """
 
     SLOTS = 4
@@ -263,6 +328,7 @@ class CuckooFilter:
         n_buckets = 1 << max(4, int(math.ceil(math.log2(max(capacity, 16) / self.SLOTS / 0.84))))
         self.n_buckets = n_buckets
         self.table = np.zeros((n_buckets, self.SLOTS), dtype=np.uint16)  # 0 = empty
+        self.degraded = False  # True once false negatives are possible
 
     def _fp(self, u: np.ndarray) -> np.ndarray:
         fp = ((_mix64(u) >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
@@ -285,6 +351,10 @@ class CuckooFilter:
         for fp, i1, i2 in zip(fps, i1s, i2s):
             if not self._insert_one(int(fp), int(i1), int(i2), rng):
                 ok = False
+        if not ok:
+            # overflow dropped keys => membership may now false-negative;
+            # flag it so probes degrade to "always maybe" downstream
+            self.degraded = True
         return ok
 
     def _insert_one(self, fp: int, i1: int, i2: int, rng) -> bool:
@@ -324,4 +394,8 @@ class CuckooFilter:
                     self.table[i, slot[0]] = 0
                     removed[j] = True
                     break
+        if removed.any():
+            # a removed fingerprint may have belonged to a DIFFERENT key
+            # (16-bit collision) — that key would now false-negative
+            self.degraded = True
         return removed

@@ -123,8 +123,10 @@ def extract_links_canon_udf(parity: bool = True):
                 s = urlsplit(absu)
                 links.append(
                     {
+                        # parity: RAW netloc (reference allow-filter is
+                        # case-sensitive, distributed_crawler.py:67-73)
                         "url": canon(absu),
-                        "host": s.netloc.lower(),
+                        "host": s.netloc if parity else s.netloc.lower(),
                         "path": s.path or "/",
                         "depth_delta": delta,
                         "pos": pos,

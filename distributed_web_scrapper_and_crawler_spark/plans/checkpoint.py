@@ -127,6 +127,33 @@ class CheckpointStore:
             json.dump(manifest, f)
         os.replace(self._manifest_path(rnd) + ".tmp", self._manifest_path(rnd))
 
+    def write_snapshot(self, state: CrawlState) -> None:
+        """Persist the COMPLETE state as base snapshots (no delta chains).
+
+        Needed by lifecycle mutations that SHRINK append-only tables —
+        ``readmit_cancelled`` removes rows from ``enqueued`` and ``done``,
+        which no append delta can express. The Iceberg analog is a
+        copy-on-write MERGE snapshot instead of an append snapshot.
+        """
+        rnd = state.round
+        rdir = self._round_dir(rnd)
+        if os.path.exists(rdir):
+            shutil.rmtree(rdir)
+        os.makedirs(rdir)
+        manifest: dict = {
+            "round": rnd,
+            "max_seq": state.max_seq,
+            "pending_count": state.pending_count,
+            "tables": {},
+        }
+        for name in ALL_TABLES:
+            path = os.path.join(rdir, name)
+            getattr(state, name).write.mode("overwrite").parquet(path)
+            manifest["tables"][name] = [path]
+        with open(self._manifest_path(rnd) + ".tmp", "w") as f:
+            json.dump(manifest, f)
+        os.replace(self._manifest_path(rnd) + ".tmp", self._manifest_path(rnd))
+
     def _read_manifest(self, rnd: int) -> dict:
         with open(self._manifest_path(rnd)) as f:
             return json.load(f)

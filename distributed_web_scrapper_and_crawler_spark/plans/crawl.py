@@ -42,6 +42,10 @@ class CrawlEngine:
     bloom: NumpyBloom | None = None
     round_stats: list[dict] = field(default_factory=list)
     _retained_caches: list = field(default_factory=list)
+    # deltas of rounds completed since the last durable commit
+    # (checkpoint_every > 1): unioned into the next write_round so no
+    # round's done/seen/pages/enqueued rows are ever dropped from the store
+    _buffered_deltas: dict = field(default_factory=dict)
 
     def flush_caches(self) -> None:
         """Release caches retained by lazy_output_tables (materialize the
@@ -62,6 +66,16 @@ class CrawlEngine:
             from distributed_web_scrapper_and_crawler_spark.operators.bloom import CuckooFilter
 
             return CuckooFilter(capacity=self.bloom_capacity)
+        if self.cfg.seen_filter == "sharded":
+            from distributed_web_scrapper_and_crawler_spark.operators.bloom import ShardedBloom
+
+            return ShardedBloom(
+                n_shards=self.cfg.bloom_shards,
+                expected_n=self.bloom_capacity,
+                fpp=self.cfg.bloom_fpp,
+            )
+        if self.cfg.seen_filter != "bloom":
+            raise ValueError(f"unknown seen_filter {self.cfg.seen_filter!r}: use bloom|sharded|cuckoo")
         return NumpyBloom.sized(self.bloom_capacity, self.cfg.bloom_fpp)
 
     # -- seeding (scheduler.py:62-117 / seed_urls.py:32-94) ---------------
@@ -115,6 +129,7 @@ class CrawlEngine:
         streaming/rounds_stream.py). Same dedup contract as discovery:
         allowed ∧ not already enqueued; idempotent on (url_hash, url)."""
         assert self.state is not None, "call seed() first"
+        self.flush_to_store()  # manifest must be current before the lifecycle commit
         st = self.state
         seeds = self.spark.createDataFrame(
             [(u, i) for i, u in enumerate(urls)], "raw_url string, input_order long"
@@ -149,7 +164,12 @@ class CrawlEngine:
                 enqueued=st.enqueued.unionByName(rows.select("url", "url_hash")),
                 max_seq=st.max_seq + n,
                 pending_count=st.pending_count + n,
+                round=st.round + 1,  # a lifecycle mutation is its own round
             )
+            # durably commit: stream-enqueued seeds must keep their enqueued
+            # membership across a restart or a later link to them would be
+            # re-crawled (exactly-once contract, streaming/rounds_stream.py)
+            self._commit_lifecycle(append_deltas={"enqueued": rows.select("url", "url_hash")})
         return n
 
     def cancel(self) -> int:
@@ -157,11 +177,30 @@ class CrawlEngine:
         from distributed_web_scrapper_and_crawler_spark.plans.politeness import cancel_pending
 
         assert self.state is not None
+        self.flush_to_store()
         st = self.state
         n = st.pending_count
-        new_pending, new_done = cancel_pending(st.pending, st.done, rnd=st.round + 1)
-        self.state = st.evolve(pending=new_pending.localCheckpoint(), done=new_done, pending_count=0)
+        new_pending, new_done, cancelled_delta = cancel_pending(st.pending, st.done, rnd=st.round + 1)
+        self.state = st.evolve(
+            pending=new_pending.localCheckpoint(), done=new_done, pending_count=0, round=st.round + 1
+        )
+        self._commit_lifecycle(append_deltas={"done": cancelled_delta})
         return n
+
+    def _commit_lifecycle(self, append_deltas: dict | None = None, snapshot: bool = False) -> None:
+        """Persist a lifecycle mutation when a store is attached; no-op
+        otherwise. Append-expressible mutations (enqueue_seeds, cancel)
+        commit as a normal round delta; shrinking mutations (readmit)
+        need a full snapshot. Buffered rounds are flushed first so the
+        prior manifest is current."""
+        if self.store is None:
+            return
+        if snapshot:
+            self.store.write_snapshot(self.state)
+        else:
+            self.store.write_round(self.state, append_deltas or {})
+        self.state = self.store.load_state(self.cfg.field_names(), rnd=self.state.round)
+        self.flush_caches()
 
     def readmit_cancelled(self) -> int:
         """Make cancelled URLs enqueueable again — the deletable-entry path
@@ -172,6 +211,7 @@ class CrawlEngine:
         ground truth (the documented cost of choosing bloom over cuckoo
         when cancellation traffic exists)."""
         assert self.state is not None
+        self.flush_to_store()
         st = self.state
         cancelled = st.done.filter(F.col("status") == "cancelled").select("url", "url_hash")
         cancelled = cancelled.localCheckpoint()
@@ -180,18 +220,31 @@ class CrawlEngine:
             return 0
         new_enqueued = st.enqueued.join(cancelled, ["url_hash", "url"], "left_anti").localCheckpoint()
         new_done = st.done.filter(F.col("status") != "cancelled").localCheckpoint()
-        self.state = st.evolve(enqueued=new_enqueued, done=new_done)
+        self.state = st.evolve(enqueued=new_enqueued, done=new_done, round=st.round + 1)
         if self.bloom is not None:
             from distributed_web_scrapper_and_crawler_spark.operators.bloom import CuckooFilter
 
             if isinstance(self.bloom, CuckooFilter):
-                hashes = [r["url_hash"] for r in cancelled.select("url_hash").collect()]
+                # chunked delete: drain hashes one partition at a time so a
+                # large cancel wave never materializes as one driver list
                 import numpy as np
+                import pandas as pd
 
-                self.bloom.delete(np.asarray(hashes, dtype=np.int64))
+                def per_partition(it):
+                    for pdf in it:
+                        if len(pdf):
+                            yield pd.DataFrame(
+                                {"hashes": [np.asarray(pdf["url_hash"], dtype=np.int64).tobytes()]}
+                            )
+
+                chunks = cancelled.select("url_hash").mapInPandas(per_partition, "hashes binary")
+                for row in chunks.toLocalIterator():
+                    self.bloom.delete(np.frombuffer(row["hashes"], dtype=np.int64))
             else:
                 self.bloom = self._new_filter()
                 add_df_to_filter(self.bloom, new_enqueued, "url_hash")
+        # removal is not append-expressible => full snapshot commit
+        self._commit_lifecycle(snapshot=True)
         return n
 
     def resume(self) -> CrawlState:
@@ -228,7 +281,36 @@ class CrawlEngine:
             res.stats.setdefault("phases", {})["materialize"] = round(_time.monotonic() - _t, 3)
             self.round_stats.append(res.stats)
             rounds_done += 1
+        # with checkpoint_every > 1 the run may stop between durable rounds;
+        # commit the buffered tail so "run returned" implies "store current"
+        self.flush_to_store()
         return self.state
+
+    def _merge_buffered(self, deltas: dict) -> dict:
+        """Union deltas buffered since the last durable commit with this
+        round's — write_round must persist EVERY round's rows, including
+        rounds skipped by checkpoint_every > 1."""
+        if not self._buffered_deltas:
+            return deltas
+        merged = dict(deltas)
+        for k, buffered in self._buffered_deltas.items():
+            merged[k] = buffered.unionByName(merged[k]) if k in merged else buffered
+        return merged
+
+    def _commit_durable(self, state, deltas: dict) -> None:
+        """Write a durable round (buffered + current deltas), reload state
+        from the store, release retained caches (nothing references them
+        once state is parquet-backed)."""
+        self.store.write_round(state, self._merge_buffered(deltas))
+        self._buffered_deltas = {}
+        self.state = self.store.load_state(self.cfg.field_names(), rnd=state.round)
+        self.flush_caches()
+
+    def flush_to_store(self) -> None:
+        """Force-commit any rounds buffered by checkpoint_every > 1 (called
+        automatically when a crawl drains; public for lifecycle callers)."""
+        if self.store is not None and self._buffered_deltas:
+            self._commit_durable(self.state, {})
 
     def _materialize(self, res) -> None:
         """Truncate lineage each round.
@@ -243,8 +325,7 @@ class CrawlEngine:
         """
         durable = self.store is not None and (res.state.round % self.checkpoint_every == 0)
         if durable:
-            self.store.write_round(res.state, res.deltas)
-            self.state = self.store.load_state(self.cfg.field_names(), rnd=res.state.round)
+            self._commit_durable(res.state, res.deltas)
         else:
             # Partition-count hygiene, but ONLY for the tables re-scanned
             # inside every round (enqueued anti-join, pending claim): a
@@ -282,6 +363,15 @@ class CrawlEngine:
                 d = {k: v.localCheckpoint() for k, v in todo.items()}
             for k in lazy_names:
                 d[k] = res.deltas[k]  # lazy: plan over retained caches
+            if self.store is not None:
+                # a store is attached but this round isn't durable
+                # (checkpoint_every > 1): buffer its deltas for the next
+                # write_round so the store never silently loses rounds
+                for k in ("done", "seen", "enqueued", "pages", "metrics"):
+                    prev_buf = self._buffered_deltas.get(k)
+                    self._buffered_deltas[k] = (
+                        prev_buf.unionByName(d[k]) if prev_buf is not None else d[k]
+                    )
             self.state = res.state.evolve(
                 pending=d["pending"],
                 done=prev.done.unionByName(d["done"]),

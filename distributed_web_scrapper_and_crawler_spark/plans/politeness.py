@@ -27,10 +27,26 @@ from pyspark.sql import functions as F
 from distributed_web_scrapper_and_crawler_spark.config import CrawlConfig
 
 
+def effective_host_budget(cfg: CrawlConfig) -> int:
+    """Per-host claims per round.
+
+    North rule: with a scheduling-round duration and a per-host
+    crawl-delay, politeness allows ``floor(round_duration / crawl_delay)``
+    fetches per host per round; ``per_host_budget`` is the explicit-count
+    ceiling. Clamped to >= 1 so a crawl_delay longer than the round can't
+    starve a host forever (documented deviation: sub-1 budgets would need
+    fetch-every-k-rounds bookkeeping the reference has no analog of)."""
+    if cfg.round_duration_s is not None and cfg.rate_limit > 0:
+        derived = int(cfg.round_duration_s // cfg.rate_limit)
+        return max(1, min(cfg.per_host_budget, derived))
+    return cfg.per_host_budget
+
+
 def claim_batch(pending: DataFrame, cfg: CrawlConfig) -> DataFrame:
     if cfg.parity_mode:
         # TakeOrderedAndProject — no single-partition window even at scale
         return pending.orderBy("seq").limit(cfg.round_budget)
+    budget = effective_host_budget(cfg)
     if cfg.salt_hot_hosts > 1:
         # hot-host salting (north rule): a host holding e.g. 90% of the
         # frontier would funnel its whole window through one task. Salt
@@ -39,7 +55,7 @@ def claim_batch(pending: DataFrame, cfg: CrawlConfig) -> DataFrame:
         # FIFO, an explicitly documented approximation for skewed
         # frontiers. Claims per host stay <= per_host_budget.
         s = cfg.salt_hot_hosts
-        per_shard = max(1, cfg.per_host_budget // s)
+        per_shard = max(1, budget // s)
         w = Window.partitionBy("host", "_salt").orderBy("depth", "seq")
         return (
             pending.withColumn("_salt", F.pmod(F.col("url_hash"), F.lit(s)))
@@ -50,7 +66,7 @@ def claim_batch(pending: DataFrame, cfg: CrawlConfig) -> DataFrame:
     w = Window.partitionBy("host").orderBy("depth", "seq")
     return (
         pending.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= cfg.per_host_budget)
+        .filter(F.col("_rk") <= budget)
         .drop("_rk")
     )
 
@@ -74,9 +90,14 @@ def apply_robots(links: DataFrame, robots: DataFrame) -> DataFrame:
     return joined.filter(~blocked).drop("disallow_prefixes")
 
 
-def cancel_pending(pending: DataFrame, done: DataFrame, rnd: int) -> tuple[DataFrame, DataFrame]:
-    """Stop-crawl: bulk pending -> cancelled (app.py:611-633)."""
+def cancel_pending(
+    pending: DataFrame, done: DataFrame, rnd: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Stop-crawl: bulk pending -> cancelled (app.py:611-633).
+
+    Returns (new_pending, new_done, cancelled_delta) — the delta is what a
+    checkpoint store appends so the mutation survives a restart."""
     cancelled = (
         pending.withColumn("status", F.lit("cancelled")).withColumn("completed_round", F.lit(rnd))
     )
-    return pending.limit(0), done.unionByName(cancelled)
+    return pending.limit(0), done.unionByName(cancelled), cancelled

@@ -154,7 +154,11 @@ def run_round(
     unique_links = links.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
     # -- cross-round dedup: bloom prefilter + ground-truth anti-join -------
-    if bloom is not None and cfg.use_bloom:
+    # The "definitely new skips the anti-join" shortcut is only sound for
+    # filters with ZERO false negatives (Bloom/ShardedBloom always; a
+    # CuckooFilter until an overflowed insert or a delete sets .degraded —
+    # then every link pays the anti-join: slower, never wrong).
+    if bloom is not None and cfg.use_bloom and not getattr(bloom, "degraded", False):
         maybe = filter_maybe_contains_udf(spark, bloom)
         flagged = unique_links.withColumn("_maybe", maybe("url_hash"))
         definite_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
@@ -200,7 +204,8 @@ def run_round(
     seen_delta = fetched.select("url", "url_hash", F.lit(rnd).alias("round"))
     enqueued_delta = pending_delta.select("url", "url_hash")
 
-    if bloom is not None and cfg.use_bloom and n_new:
+    if bloom is not None and cfg.use_bloom and n_new and not getattr(bloom, "degraded", False):
+        # a degraded filter is never consulted again — skip maintaining it
         t = time.monotonic()
         add_df_to_filter(bloom, new_links, "url_hash")
         _mark("bloom_add", t)
@@ -219,7 +224,12 @@ def run_round(
         "wall_ms": wall_ms,
         "phases": phase_t,
     }
-    metric_rows = [(rnd, -1, n_claimed, n_fetched, n_links, n_new, n_links - n_new, wall_ms)]
+    # uncollected stats persist as NULLs, never sentinels — a downstream
+    # sum()/avg() over the metrics table must skip them, not mis-sum -1s
+    _n_fetched = n_fetched if cfg.collect_stats else None
+    _n_links = n_links if cfg.collect_stats else None
+    _dedup = (n_links - n_new) if cfg.collect_stats else None
+    metric_rows = [(rnd, -1, n_claimed, _n_fetched, _n_links, n_new, _dedup, wall_ms)]
     if collect_partition_metrics:
         per_part = (
             new_links.groupBy(F.spark_partition_id().alias("pid")).agg(F.count(F.lit(1)).alias("n")).collect()

@@ -17,7 +17,15 @@ from distributed_web_scrapper_and_crawler_spark.sources.corpus import (
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="dwsc-tests", master="local[4]", shuffle_partitions=8)
+    # AQE off: at test scale its per-job re-optimization is pure serial
+    # driver overhead (same reasoning as the crawl bench, PLANS.md ledger);
+    # production sessions keep it on (session.py defaults).
+    s = get_spark(
+        app_name="dwsc-tests",
+        master="local[4]",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
+    )
     yield s
 
 
@@ -41,3 +49,25 @@ def small_corpus(spark, small_corpus_pdf):
 @pytest.fixture(scope="session")
 def seeds(small_spec) -> list[str]:
     return [f"http://{small_spec.hosts[0]}/page/0", f"http://{small_spec.hosts[1]}/page/3"]
+
+
+# -- a deliberately tiny web for the crawl-several-times test families
+# (checkpoint/lifecycle): the assertions there are about durability, not
+# extraction richness, and every saved round is several Spark jobs --------
+
+
+@pytest.fixture(scope="session")
+def tiny_spec() -> CorpusSpec:
+    return CorpusSpec(seed=43, n_hosts=2, docs_per_host=6, links_per_doc=3)
+
+
+@pytest.fixture(scope="session")
+def tiny_corpus(spark, tiny_spec):
+    df = spark.createDataFrame(generate_corpus(tiny_spec), schema=CORPUS_SPARK_SCHEMA)
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="session")
+def tiny_seeds(tiny_spec) -> list[str]:
+    return [f"http://{tiny_spec.hosts[0]}/page/0"]

@@ -13,6 +13,7 @@ from distributed_web_scrapper_and_crawler_spark.operators.bloom import (
     CuckooFilter,
     NumpyBloom,
     ShardedBloom,
+    add_df_to_filter,
     build_bloom,
 )
 
@@ -77,6 +78,41 @@ def test_cuckoo_insert_contains_delete():
     assert removed.all()
     # the deleted keys' slots are gone; remaining keys still present
     assert cf.contains(keys[500:]).all()
+
+
+def test_sharded_distributed_fold_equals_serial(spark):
+    """add_df_to_filter on a ShardedBloom must equal the serial build
+    bit-for-bit — the distributed per-shard partial fold is the 10^10
+    engine path (VERDICT r1 #1)."""
+    rng = np.random.RandomState(6)
+    keys = rng.randint(-(2**62), 2**62, size=8_000).astype(np.int64)
+    df = spark.createDataFrame([(int(k),) for k in keys], "url_hash long").repartition(7)
+    dist = ShardedBloom(n_shards=8, expected_n=8_000)
+    add_df_to_filter(dist, df, "url_hash")
+    serial = ShardedBloom(n_shards=8, expected_n=8_000)
+    serial.add(keys)
+    for a, b in zip(dist.shards, serial.shards):
+        assert (a.words == b.words).all()
+    assert dist.contains(keys).all()
+
+
+def test_cuckoo_degrades_on_overflow_and_delete():
+    """False-negative events must set .degraded so the engine stops
+    trusting definite-new answers (ADVICE r1 #3)."""
+    cf = CuckooFilter(capacity=64)
+    rng = np.random.RandomState(8)
+    small = rng.randint(-(2**62), 2**62, size=10).astype(np.int64)
+    assert cf.insert(small)
+    assert not cf.degraded
+    # overflow: way past capacity => some insert fails
+    big = rng.randint(-(2**62), 2**62, size=5_000).astype(np.int64)
+    cf.insert(big)
+    assert cf.degraded
+    # delete flags too (a removed fp may have belonged to another key)
+    cf2 = CuckooFilter(capacity=64)
+    cf2.insert(small)
+    cf2.delete(small[:2])
+    assert cf2.degraded
 
 
 @pytest.mark.parametrize("n", [10, 1000])

@@ -11,11 +11,11 @@ from distributed_web_scrapper_and_crawler_spark.config import CrawlConfig
 from distributed_web_scrapper_and_crawler_spark.plans.crawl import CrawlEngine
 
 
-@pytest.mark.parametrize("filter_kind", ["bloom", "cuckoo"])
-def test_cancel_then_readmit_then_recrawl(spark, small_corpus, seeds, filter_kind):
+@pytest.mark.parametrize("filter_kind", ["bloom", "cuckoo", "sharded"])
+def test_cancel_then_readmit_then_recrawl(spark, tiny_corpus, tiny_seeds, filter_kind):
     cfg = CrawlConfig(parity_mode=True, round_budget=8, seen_filter=filter_kind)
-    eng = CrawlEngine(spark=spark, corpus=small_corpus, cfg=cfg)
-    eng.seed(seeds)
+    eng = CrawlEngine(spark=spark, corpus=tiny_corpus, cfg=cfg)
+    eng.seed(tiny_seeds)
     eng.run(max_rounds=2)
 
     n_cancelled = eng.cancel()
@@ -34,18 +34,18 @@ def test_cancel_then_readmit_then_recrawl(spark, small_corpus, seeds, filter_kin
     assert n == len(cancelled_urls)
     eng.run()
     seen = {r["url"] for r in eng.state.seen.collect()}
-    in_corpus = {r["doc_id"] for r in small_corpus.select("doc_id").collect()}
+    in_corpus = {r["doc_id"] for r in tiny_corpus.select("doc_id").collect()}
     for u in cancelled_urls:
         if u in in_corpus:
             assert u in seen
 
 
-def test_cuckoo_engine_matches_bloom_engine(spark, small_corpus, seeds):
+def test_cuckoo_engine_matches_bloom_engine(spark, tiny_corpus, tiny_seeds):
     orders = []
     for kind in ("bloom", "cuckoo"):
         cfg = CrawlConfig(parity_mode=True, round_budget=64, seen_filter=kind)
-        eng = CrawlEngine(spark=spark, corpus=small_corpus, cfg=cfg, bloom_capacity=1 << 14)
-        eng.seed(seeds)
+        eng = CrawlEngine(spark=spark, corpus=tiny_corpus, cfg=cfg, bloom_capacity=1 << 14)
+        eng.seed(tiny_seeds)
         eng.run()
         orders.append(eng.claim_order())
     assert orders[0] == orders[1]

@@ -20,56 +20,122 @@ def _collect_state(eng):
     }
 
 
-def test_kill_resume_equals_uninterrupted(spark, small_corpus, seeds, tmp_path):
+def test_kill_resume_equals_uninterrupted(spark, tiny_corpus, tiny_seeds, tmp_path):
     cfg = CrawlConfig(parity_mode=True, round_budget=32)
     ckpt = str(tmp_path / "ckpt")
 
-    eng = CrawlEngine(spark=spark, corpus=small_corpus, cfg=cfg, ckpt_dir=ckpt)
-    eng.seed(seeds)
+    eng = CrawlEngine(spark=spark, corpus=tiny_corpus, cfg=cfg, ckpt_dir=ckpt)
+    eng.seed(tiny_seeds)
     eng.run(max_rounds=2)
     del eng  # "crash"
 
-    eng2 = CrawlEngine(spark=spark, corpus=small_corpus, cfg=cfg, ckpt_dir=ckpt)
+    eng2 = CrawlEngine(spark=spark, corpus=tiny_corpus, cfg=cfg, ckpt_dir=ckpt)
     eng2.resume()
     assert eng2.state.round == 1
     eng2.run()
 
-    eng3 = CrawlEngine(spark=spark, corpus=small_corpus, cfg=cfg)
-    eng3.seed(seeds)
+    eng3 = CrawlEngine(spark=spark, corpus=tiny_corpus, cfg=cfg)
+    eng3.seed(tiny_seeds)
     eng3.run()
     assert _collect_state(eng2) == _collect_state(eng3)
 
 
-def test_uncommitted_round_is_invisible(spark, small_corpus, seeds, tmp_path):
+def test_uncommitted_round_is_invisible(spark, tiny_corpus, tiny_seeds, tmp_path):
     """A round dir without _MANIFEST.json (crash mid-write) must be ignored:
     the manifest is the atomic commit marker."""
     cfg = CrawlConfig(parity_mode=True, round_budget=32)
     ckpt = str(tmp_path / "ckpt")
-    eng = CrawlEngine(spark=spark, corpus=small_corpus, cfg=cfg, ckpt_dir=ckpt)
-    eng.seed(seeds)
+    eng = CrawlEngine(spark=spark, corpus=tiny_corpus, cfg=cfg, ckpt_dir=ckpt)
+    eng.seed(tiny_seeds)
     eng.run(max_rounds=2)
     # simulate a crash mid-write of round 1: drop its manifest
     os.remove(os.path.join(ckpt, "round_000001", "_MANIFEST.json"))
 
-    eng2 = CrawlEngine(spark=spark, corpus=small_corpus, cfg=cfg, ckpt_dir=ckpt)
+    eng2 = CrawlEngine(spark=spark, corpus=tiny_corpus, cfg=cfg, ckpt_dir=ckpt)
     eng2.resume()
     assert eng2.state.round == 0  # round 1 never happened
     eng2.run()
 
-    eng3 = CrawlEngine(spark=spark, corpus=small_corpus, cfg=cfg)
-    eng3.seed(seeds)
+    eng3 = CrawlEngine(spark=spark, corpus=tiny_corpus, cfg=cfg)
+    eng3.seed(tiny_seeds)
     eng3.run()
     assert _collect_state(eng2) == _collect_state(eng3)
 
 
-def test_compaction_preserves_state(spark, small_corpus, seeds, tmp_path):
+def test_checkpoint_every_2_loses_nothing(spark, tiny_corpus, tiny_seeds, tmp_path):
+    """checkpoint_every > 1 buffers skipped rounds' deltas and unions them
+    into the next durable write — resume state must equal a fresh run
+    (ADVICE r1 #1: non-durable rounds were silently dropped)."""
+    cfg = CrawlConfig(parity_mode=True, round_budget=16)
+    ckpt = str(tmp_path / "ckpt")
+    eng = CrawlEngine(spark=spark, corpus=tiny_corpus, cfg=cfg, ckpt_dir=ckpt, checkpoint_every=2)
+    eng.seed(tiny_seeds)
+    eng.run(max_rounds=3)  # rounds 0,1,2: round 1 is non-durable, flushed at stop
+    del eng
+
+    eng2 = CrawlEngine(spark=spark, corpus=tiny_corpus, cfg=cfg, ckpt_dir=ckpt, checkpoint_every=2)
+    eng2.resume()
+    assert eng2.state.round == 2
+    eng2.run()
+
+    eng3 = CrawlEngine(spark=spark, corpus=tiny_corpus, cfg=cfg)
+    eng3.seed(tiny_seeds)
+    eng3.run()
+    assert _collect_state(eng2) == _collect_state(eng3)
+
+
+def test_lifecycle_mutations_survive_restart(spark, tiny_corpus, tiny_seeds, tmp_path):
+    """enqueue_seeds / cancel / readmit must commit to the store so a
+    restart can't resurrect cancelled URLs or re-crawl stream-enqueued
+    seeds (ADVICE r1 #2)."""
+    from pyspark.sql import functions as F
+
+    cfg = CrawlConfig(parity_mode=True, round_budget=8)
+    ckpt = str(tmp_path / "ckpt")
+    eng = CrawlEngine(spark=spark, corpus=tiny_corpus, cfg=cfg, ckpt_dir=ckpt)
+    eng.seed(tiny_seeds)
+    eng.run(max_rounds=2)
+    n_cancelled = eng.cancel()
+    assert n_cancelled > 0
+    live_cancelled = {
+        r["url"] for r in eng.state.done.filter("status = 'cancelled'").collect()
+    }
+    del eng  # "crash" right after cancel
+
+    eng2 = CrawlEngine(spark=spark, corpus=tiny_corpus, cfg=cfg, ckpt_dir=ckpt)
+    eng2.resume()
+    stored_cancelled = {
+        r["url"] for r in eng2.state.done.filter("status = 'cancelled'").collect()
+    }
+    assert stored_cancelled == live_cancelled  # cancel survived the restart
+    assert eng2.state.pending_count == 0
+
+    # readmit + re-enqueue, crash again, resume: the re-crawl must proceed
+    eng2.readmit_cancelled()
+    n = eng2.enqueue_seeds(sorted(live_cancelled))
+    assert n == len(live_cancelled)
+    enq_live = eng2.state.enqueued.count()
+    del eng2
+
+    eng3 = CrawlEngine(spark=spark, corpus=tiny_corpus, cfg=cfg, ckpt_dir=ckpt)
+    eng3.resume()
+    assert eng3.state.done.filter("status = 'cancelled'").count() == 0  # readmit survived
+    assert eng3.state.enqueued.count() == enq_live  # enqueue_seeds survived
+    assert eng3.state.pending_count == len(live_cancelled)
+    eng3.run()
+    seen = {r["url"] for r in eng3.state.seen.collect()}
+    in_corpus = {r["doc_id"] for r in tiny_corpus.select("doc_id").collect()}
+    assert {u for u in live_cancelled if u in in_corpus} <= seen
+
+
+def test_compaction_preserves_state(spark, tiny_corpus, tiny_seeds, tmp_path):
     cfg = CrawlConfig(parity_mode=True, round_budget=4)
     ckpt = str(tmp_path / "ckpt")
-    eng = CrawlEngine(spark=spark, corpus=small_corpus, cfg=cfg, ckpt_dir=ckpt)
+    eng = CrawlEngine(spark=spark, corpus=tiny_corpus, cfg=cfg, ckpt_dir=ckpt)
     eng.store.compact_every = 2  # force frequent compaction
-    eng.seed(seeds)
+    eng.seed(tiny_seeds)
     eng.run(max_rounds=5)
-    eng2 = CrawlEngine(spark=spark, corpus=small_corpus, cfg=cfg, ckpt_dir=ckpt)
+    eng2 = CrawlEngine(spark=spark, corpus=tiny_corpus, cfg=cfg, ckpt_dir=ckpt)
     eng2.resume()
     a = sorted(r["url"] for r in eng.state.enqueued.collect())
     b = sorted(r["url"] for r in eng2.state.enqueued.collect())

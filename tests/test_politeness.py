@@ -106,7 +106,34 @@ def test_cancel_pending(spark):
         "url string, url_hash long, host string, depth int, discovered_round int, seq long, added_by string",
     )
     done = pending.limit(0).withColumn("status", F.lit("")).withColumn("completed_round", F.lit(0))
-    new_pending, new_done = cancel_pending(pending, done, rnd=3)
+    new_pending, new_done, delta = cancel_pending(pending, done, rnd=3)
     assert new_pending.count() == 0
     row = new_done.collect()[0]
     assert row["status"] == "cancelled" and row["completed_round"] == 3
+    assert delta.count() == 1
+
+
+def test_time_derived_budget(spark):
+    """North rule: per_host_budget = floor(round_duration / crawl_delay),
+    enforced per host per round; the count knob remains a ceiling."""
+    rows = [
+        (f"http://h{h}.t/p{i}", h * 100 + i, f"h{h}.t", 0, 0, h * 100 + i, "x")
+        for h in range(2)
+        for i in range(10)
+    ]
+    pending = spark.createDataFrame(
+        rows, "url string, url_hash long, host string, depth int, discovered_round int, seq long, added_by string"
+    )
+    # 6s rounds at 2s crawl-delay => 3 fetches per host per round
+    cfg = CrawlConfig(parity_mode=False, per_host_budget=100, rate_limit=2.0, round_duration_s=6.0)
+    claim = claim_batch(pending, cfg)
+    per_host = {r["host"]: r["n"] for r in claim.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    assert per_host == {"h0.t": 3, "h1.t": 3}
+    # explicit count knob still caps the derived value
+    cfg2 = CrawlConfig(parity_mode=False, per_host_budget=2, rate_limit=2.0, round_duration_s=6.0)
+    n2 = claim_batch(pending, cfg2).groupBy("host").count().collect()
+    assert all(r["count"] == 2 for r in n2)
+    # crawl_delay longer than the round clamps at 1, never starves
+    cfg3 = CrawlConfig(parity_mode=False, per_host_budget=100, rate_limit=30.0, round_duration_s=6.0)
+    n3 = claim_batch(pending, cfg3).groupBy("host").count().collect()
+    assert all(r["count"] == 1 for r in n3)
