@@ -130,22 +130,32 @@ def revenue_percentiles(spark, sf_dir):
 
 @q(
     "approx_distinct_parts",
-    None,  # HLL sketches are engine-specific — rows-only check; the exact
-    # countDistinct twin is oracle-checked in stats_endpoint
-    doc="approx_count_distinct (HLL) — the 10^10-scale substitute for exact distinct",
+    """SELECT count(DISTINCT l_partkey) AS exact_parts, TRUE AS approx_ok
+       FROM lineitem""",
+    doc="approx_count_distinct (HLL) — the 10^10-scale substitute for exact "
+    "distinct. Oracled: exact count value-checked against DuckDB; the HLL "
+    "estimate is asserted within 5% rtol of the exact count as a boolean the "
+    "oracle expects TRUE (the sketch value itself is engine-specific)",
 )
 def approx_distinct_parts(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     return li.agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+        (
+            F.abs(F.approx_count_distinct("l_partkey") - F.countDistinct("l_partkey"))
+            / F.countDistinct("l_partkey")
+            < 0.05
+        ).alias("approx_ok"),
     )
 
 
 @q(
     "stream_status_counts",
-    None,  # Structured Streaming — executed via the memory sink; rows-only
-    doc="streaming: watermarked tumbling-window event counts driven to completion",
+    """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n
+       FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
+    doc="streaming: watermarked tumbling-window event counts driven to "
+    "completion — the memory-sink result must equal the batch GROUP BY "
+    "(complete output mode over a bounded source is exactly the batch agg)",
 )
 def stream_status_counts(spark, sf_dir):
     from distributed_web_scrapper_and_crawler_spark.streaming.rounds_stream import (
@@ -153,10 +163,15 @@ def stream_status_counts(spark, sf_dir):
     )
 
     events = t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
-    import tempfile
+    import hashlib
+    import os
 
-    src = tempfile.mkdtemp(prefix="dwsc_stream_src_")
-    events.write.mode("overwrite").parquet(src)
+    # content-keyed cache: repeated invocations reuse one source dir
+    # instead of leaking a mkdtemp per call (VERDICT r1 #10)
+    key = hashlib.md5(f"{sf_dir}/events".encode()).hexdigest()[:12]
+    src = f"/tmp/dwsc_stream_src_{key}"
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        events.write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema(events.schema).parquet(src)
     agg = windowed_event_counts(stream, window="1 day", watermark="1 hour")
     qname = "dwsc_stream_status_counts"

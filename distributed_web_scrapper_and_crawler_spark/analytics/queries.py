@@ -201,23 +201,55 @@ def pending_preview(spark, sf_dir):
     )
 
 
+def search_documents(spark, sf_dir, query: str, k: int = 10) -> DataFrame:
+    """User-parameterized multi-term text search — the engine analog of the
+    reference's ``/search?q=`` endpoint (api.py:44-62): whitespace-split the
+    query, score = total across-term frequency, require every term present
+    (Mongo $text is OR-ish but opaque; AND + term-frequency is the
+    documented contract, SURVEY.md §2.7), top-k by (score desc, doc_id)."""
+    terms = [w.lower() for w in query.split() if w]
+    score = F.lit(0).cast("long")
+    present = F.lit(True)
+    for w in terms:
+        hits = F.size(F.expr(f"regexp_extract_all(lower(text), '\\\\b{w}\\\\b', 0)")).cast("long")
+        score = score + hits
+        present = present & (hits > 0)
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", score.alias("score"), present.alias("_p"))
+        .filter(F.col("_p"))
+        .drop("_p")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def _search_sql(terms: list[str], k: int = 10) -> str:
+    hit = lambda w: f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))"  # noqa: E731
+    score = " + ".join(hit(w) for w in terms)
+    present = " AND ".join(f"{hit(w)} > 0" for w in terms)
+    return f"""SELECT doc_id, CAST({score} AS BIGINT) AS score
+       FROM documents WHERE {present}
+       ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
 @q(
     "text_search",
-    """SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '\\bspark\\b')) AS BIGINT) AS score
-       FROM documents
-       WHERE len(regexp_extract_all(lower(text), '\\bspark\\b')) > 0
-       ORDER BY score DESC, doc_id LIMIT 10""",
+    _search_sql(["spark"]),
     doc="text-search top-k by term frequency (api.py:44-62; Mongo textScore is opaque — documented weaker contract, SURVEY.md §2.7)",
 )
 def text_search(spark, sf_dir):
-    score = F.size(F.expr("regexp_extract_all(lower(text), '\\\\bspark\\\\b', 0)")).cast("long")
-    return (
-        t(spark, sf_dir, "documents")
-        .select("doc_id", score.alias("score"))
-        .filter(F.col("score") > 0)
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(10)
-    )
+    return search_documents(spark, sf_dir, "spark")
+
+
+@q(
+    "text_search_multi",
+    _search_sql(["table", "scan"]),
+    doc="parameterized multi-term search (the /search?q= surface, api.py:44-62): "
+    "all terms required, score = summed term frequency",
+)
+def text_search_multi(spark, sf_dir):
+    return search_documents(spark, sf_dir, "table scan")
 
 
 @q(
@@ -443,4 +475,76 @@ def politeness_budget_rank(spark, sf_dir):
         .filter(F.col("rk") <= 2)
         .select(F.col("o_orderpriority").alias("host"), F.col("o_orderkey").alias("url_id"), "rk")
         .orderBy("host", "rk")
+    )
+
+
+# =====================================================================
+# §3 Raw-HTML ingestion (the reference's actual input format)
+# =====================================================================
+
+
+@q(
+    "html_extract",
+    """SELECT doc_id,
+              'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+              '£' || CAST(n_chars AS VARCHAR) AS price,
+              'In stock' AS availability,
+              'cat-' || lang AS category,
+              '/page/' || CAST(doc_id + 1 AS VARCHAR) AS book_href,
+              '/page/' || CAST(doc_id AS VARCHAR) || '?p=2' AS next_href,
+              CAST(1 AS BIGINT) AS n_media
+       FROM documents WHERE doc_id < 200 ORDER BY doc_id""",
+    doc="html_to_spans ingestion (VERDICT r1 #3): HTML is BUILT from documents "
+    "columns with pure Catalyst concat, parsed by the stdlib-DOM selector "
+    "engine (the reference's BeautifulSoup path, remote_worker.py:180-254), "
+    "then field-extracted through the normal span pipeline; the oracle knows "
+    "the expected output directly from the source columns — if the parser "
+    "mis-extracts anything, the value hash diverges",
+)
+def html_extract(spark, sf_dir):
+    from distributed_web_scrapper_and_crawler_spark.config import DEFAULT_EXTRACTION_RULES
+    from distributed_web_scrapper_and_crawler_spark.operators.extract import extract_fields_udf
+    from distributed_web_scrapper_and_crawler_spark.operators.html import html_to_spans_udf
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<html><body><ul class="breadcrumb"><li><a href="/">Home</a></li>'),
+        F.lit('<li><a>Books</a></li><li><a href="/c">cat-'),
+        F.col("lang"),
+        F.lit('</a></li></ul><div class="product_main"><h1>Doc '),
+        did,
+        F.lit('</h1><p class="price_color">£'),
+        F.col("n_chars").cast("string"),
+        F.lit('</p><p class="availability">\n  In stock \n</p></div>'),
+        F.lit('<article class="product_pod"><h3><a href="/page/'),
+        (F.col("doc_id") + 1).cast("string"),
+        F.lit('">t</a></h3></article>'),
+        F.lit('<ul class="pager"><li class="next"><a href="/page/'),
+        did,
+        F.lit('?p=2">n</a></li></ul><img src="http://img.test/'),
+        did,
+        F.lit('.jpg"/></body></html>'),
+    )
+    spans_df = d.select("doc_id", html_to_spans_udf()(html).alias("spans"))
+    fields = extract_fields_udf(DEFAULT_EXTRACTION_RULES)
+    return (
+        spans_df.select(
+            "doc_id",
+            fields("spans").alias("_f"),
+            F.expr("filter(spans, s -> s.kind = 'link_book')[0].text").alias("book_href"),
+            F.expr("filter(spans, s -> s.kind = 'link_next')[0].text").alias("next_href"),
+            F.expr("size(filter(spans, s -> s.kind = 'media'))").cast("long").alias("n_media"),
+        )
+        .select(
+            "doc_id",
+            F.col("_f.title").alias("title"),
+            F.col("_f.price").alias("price"),
+            F.col("_f.availability").alias("availability"),
+            F.col("_f.category").alias("category"),
+            "book_href",
+            "next_href",
+            "n_media",
+        )
+        .orderBy("doc_id")
     )

@@ -175,16 +175,53 @@ def embedding_topk(spark, sf_dir):
        FROM e a JOIN e b ON a.vec_id < b.vec_id
        WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.45
        ORDER BY a, b""",
-    doc="embedding-cosine near-dup pairs (exact; LSH variant is ann_lsh_topk)",
+    doc="embedding-cosine near-dup pairs: EXACT via triangle-blocked equi-join "
+    "(no BroadcastNestedLoopJoin; VERDICT r1 #5); sub-quadratic variant is lsh_near_dups",
 )
 def embedding_near_dups(spark, sf_dir):
     return ann.near_dup_pairs(t(spark, sf_dir, "embeddings"), threshold=0.45).orderBy("a", "b")
 
 
+_SIG8 = ann.hyperplane_sig_sql("v", 8)
+_SIG4 = ann.hyperplane_sig_sql("v", 4)
+
+
+@q(
+    "lsh_near_dups",
+    f"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        s AS (SELECT vec_id, v, {_SIG8} AS bucket FROM e)
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               round(list_cosine_similarity(a.v, b.v), 4) AS score
+        FROM s a JOIN s b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.3
+        ORDER BY a, b""",
+    doc="LSH-bucketed near-dup pairs — the 10^10 path: candidates share all 8 "
+    "hyperplane bits (~n²/256 compares); oracle recomputes the SAME buckets, so "
+    "the approximation is contract, not drift",
+)
+def lsh_near_dups(spark, sf_dir):
+    res = ann.lsh_near_dup_pairs(
+        t(spark, sf_dir, "embeddings"), threshold=0.3, n_planes=8
+    )
+    return res.orderBy("a", "b")
+
+
 @q(
     "ann_lsh_topk",
-    None,  # hyperplane construction is Spark-expressed; driver rows-only check
-    doc="LSH-bucketed approximate top-k (random-hyperplane signatures, bucket equi-join)",
+    f"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        s AS (SELECT vec_id, v, {_SIG4} AS bucket FROM e),
+        q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM s WHERE vec_id < 5),
+        scored AS (
+          SELECT q.q_id, s.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(s.v, q.qv), 4) AS score
+          FROM s JOIN q ON s.bucket = q.bucket AND s.vec_id <> q.q_id)
+        SELECT q_id, neighbor_id, score, rk AS rank FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                         ORDER BY score DESC, neighbor_id) AS BIGINT) AS rk
+          FROM scored)
+        WHERE rk <= 5 ORDER BY q_id, rank""",
+    doc="LSH-bucketed approximate top-k (random-hyperplane signatures, bucket "
+    "equi-join); oracle reproduces the md5 hyperplanes in DuckDB list functions",
 )
 def ann_lsh_topk(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")

@@ -65,17 +65,45 @@ def near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     round_to: int = 4,
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """All pairs (a < b) with cosine >= threshold. Exact (O(n²) compare) —
-    the small-corpus oracle; at scale run lsh_ann_topk buckets first."""
-    l = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
-    r = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
-    return (
-        l.join(r, F.col("a") < F.col("b"))
-        .withColumn("score", F.round(cosine_expr("va", "vb"), round_to))
-        .filter(F.col("score") >= threshold)
-        .select("a", "b", "score")
+    """All pairs (a < b) with cosine >= threshold — EXACT, via a
+    triangle-blocked self-join instead of a BroadcastNestedLoopJoin.
+
+    Exact all-pairs similarity is inherently O(n²) compares at a low
+    threshold; what CAN be fixed is the join shape. Rows get a block id
+    ``pmod(xxhash64(id), B)``; a tiny driver-built table of the
+    B(B+1)/2 unordered block pairs turns the cartesian into two plain
+    shuffled EQUI-joins, so (a) Catalyst never plans a nested-loop
+    broadcast of the whole table, (b) work spreads evenly over
+    partitions (each block pair is one comparable-size unit), and
+    (c) B scales with cluster size independently of data size.
+    Replication factor is (B+1)/2 per side — the standard distributed
+    theta-join triangle partitioning. For genuinely-near-dup thresholds
+    (cosine >= ~0.9) prefer ``lsh_near_dup_pairs``: sub-quadratic, at a
+    documented recall cost.
+    """
+    spark = emb.sparkSession
+    blk = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_blocks))
+    l = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), blk.alias("bi"))
+    r = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), blk.alias("bj"))
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)], "bi int, bj int"
     )
+    cand = (
+        l.join(F.broadcast(pairs), "bi")
+        .join(r, "bj")
+        # i == j blocks carry both orderings of a pair — keep one; i < j
+        # blocks carry each unordered pair once but possibly as (b, a)
+        .filter((F.col("bi") < F.col("bj")) | (F.col("a") < F.col("b")))
+        .filter(F.col("a") != F.col("b"))
+    )
+    scored = cand.withColumn("score", F.round(cosine_expr("va", "vb"), round_to)).filter(
+        F.col("score") >= threshold
+    )
+    return scored.select(
+        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"), "score"
+    ).dropDuplicates(["a", "b"])
 
 
 def _hyperplane_sig(vec_col: str, n_planes: int) -> F.Column:
@@ -95,6 +123,57 @@ def _hyperplane_sig(vec_col: str, n_planes: int) -> F.Column:
     for b in bits:
         sig = sig + b
     return sig.cast("int")
+
+
+def hyperplane_sig_sql(vec_expr: str, n_planes: int) -> str:
+    """DuckDB rendering of ``_hyperplane_sig`` — bit-identical buckets.
+
+    Mirrors the Spark expression term by term: w(j,d) = +1 iff the top
+    60 bits of md5('j:d') are even (Spark ``conv(substr(md5,1,15),16,10)
+    % 2`` == DuckDB ``CAST('0x'||substr(md5,1,15) AS UBIGINT) % 2``),
+    dot = sum_d v[d]*w(j,d), bit j set iff dot > 0. Having the oracle
+    recompute the SAME buckets makes the LSH approximation part of the
+    tested contract instead of an excuse for a rows-only check."""
+    terms = []
+    for j in range(n_planes):
+        w = (
+            f"(CASE WHEN CAST(('0x' || substr(md5('{j}:' || CAST(i-1 AS VARCHAR)), 1, 15)) AS UBIGINT)"
+            f" % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+        )
+        dot = f"list_sum(list_transform(range(1, len({vec_expr})+1), i -> {vec_expr}[i] * {w}))"
+        terms.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def lsh_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    round_to: int = 4,
+) -> DataFrame:
+    """Near-dup pairs restricted to same-hyperplane-bucket candidates —
+    the sub-quadratic scale path for genuinely-near-dup thresholds.
+
+    Candidate pairs share all ``n_planes`` signature bits; expected
+    candidate mass is ~n²/2^planes, and per-pair recall is
+    (1 - theta/pi)^planes (theta = arccos(threshold)) — e.g. ~0.93 for
+    cosine 0.95 at 8 planes. The signature is deterministic md5 math, so
+    a SQL oracle can reproduce the EXACT same candidates: the operator's
+    approximation is part of its contract, not drift.
+    """
+    sig = _hyperplane_sig(vec_col, n_planes)
+    s = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sig.alias("bucket"))
+    l = s.select(F.col("id").alias("a"), F.col("v").alias("va"), "bucket")
+    r = s.select(F.col("id").alias("b"), F.col("v").alias("vb"), "bucket")
+    return (
+        l.join(r, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("score", F.round(cosine_expr("va", "vb"), round_to))
+        .filter(F.col("score") >= threshold)
+        .select("a", "b", "score")
+    )
 
 
 def lsh_ann_topk(
