@@ -14,7 +14,7 @@ Env knobs:
 The crawl section measures the north-rule metric (URLs scheduled+deduped
 per second) on the real engine: production-mode rounds (per-host window
 budgets, Bloom-prefiltered dedup) over a deterministic synthetic web.
-Scaling evidence (local[8] vs local[32]) is produced by
+Scaling evidence (local[2] vs local[8], the single protocol in BASELINE.md) is produced by
 tools/scaling_evidence.py, which shells out to this file at two
 parallelism levels on the SAME cached corpus.
 """
@@ -107,6 +107,10 @@ def bench_crawl(spark, n_docs: int, rounds: int = 4, seed_frac: float = 0.3) -> 
         use_bloom=True,
         allowed_domains=("example.test",),
         lazy_output_tables=True,
+        # hot-host salting (north-rule skew handling): host 0 carries 30%
+        # of the frontier; unsalted, its claim window sorts on ONE core
+        # and flat-lines the scaling ratio (PLANS.md ledger)
+        salt_hot_hosts=8,
     )
     eng = CrawlEngine(spark=spark, corpus=corpus, cfg=cfg, bloom_capacity=1 << 22)
     step = max(1, int(1 / seed_frac))

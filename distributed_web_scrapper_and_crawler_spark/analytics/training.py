@@ -327,3 +327,44 @@ def doc_fingerprints(spark, sf_dir):
         .select("doc_id", doc_fingerprint("text").alias("fp"))
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------------------ multimodal
+
+
+@q(
+    "multimodal_features_meta",
+    """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+              md5(text) AS content_md5, CAST(16 AS BIGINT) AS feat_dim,
+              FALSE AS decode_ok
+       FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+    doc="multimodal plumbing under the driver gate: a BINARY content column "
+    "(utf-8 bytes of text — deterministic in both engines) runs through the "
+    "REAL mapInPandas feature extractor (operators/multimodal.py); the oracle "
+    "value-checks byte length + content md5 and the structural contract "
+    "(16-dim feature, stubbed-codec decode_ok=false). The codec itself is the "
+    "documented strict-mode seam — the Spark-side schema/batch plumbing is "
+    "what this gate locks down",
+)
+def multimodal_features_meta(spark, sf_dir):
+    from distributed_web_scrapper_and_crawler_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_ref"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    feats = extract_media_features(media, dim=16)
+    return (
+        feats.join(media, "media_ref")
+        .select(
+            F.col("media_ref").cast("long").alias("doc_id"),
+            F.length("content").cast("long").alias("n_bytes"),
+            F.md5("content").alias("content_md5"),
+            F.size("feature").cast("long").alias("feat_dim"),
+            "decode_ok",
+        )
+        .orderBy("doc_id")
+    )

@@ -338,7 +338,13 @@ class CrawlEngine:
             st = res.stats
 
             def npart(n: int) -> int:
-                return max(1, min(64, n // 200_000 + 1))
+                # ~25k rows per partition, capped: tiny test states collapse
+                # to 1 partition (no empty-task spam in the append chain)
+                # while bench/production states keep enough partitions that
+                # the NEXT round's claim scan and anti-join probe can use
+                # every core — 200k/partition measured as the claim-phase
+                # scaling ceiling at the 400k-doc bench (PLANS.md ledger)
+                return max(1, min(64, n // 25_000 + 1))
 
             prev = self.state
             lazy_names = (
@@ -359,6 +365,15 @@ class CrawlEngine:
                 with ThreadPoolExecutor(max_workers=len(todo)) as ex:
                     futs = {k: ex.submit(v.localCheckpoint) for k, v in todo.items()}
                     d = {k: f.result() for k, f in futs.items()}
+            elif self.cfg.lazy_output_tables:
+                # lazy (eager=False) checkpoints: materialization folds into
+                # the NEXT round's first action over each table (claim for
+                # pending, the dedup probe for enqueued) instead of costing
+                # two dedicated driver-scheduled jobs per round — measured
+                # ~1 s/round of flat serial time on the crawl bench. Safe
+                # here because this mode retains the round caches the lazy
+                # plans read from (see bottom of this method).
+                d = {k: v.localCheckpoint(eager=False) for k, v in todo.items()}
             else:
                 d = {k: v.localCheckpoint() for k, v in todo.items()}
             for k in lazy_names:

@@ -123,10 +123,15 @@ def run_round(
     # -- link extraction (the table-generating function, SURVEY.md §2.3) --
     # fused extract+urljoin+canonicalize UDF: one Arrow crossing over the
     # round's biggest intermediate
+    # prune non-link spans JVM-side before the Arrow crossing: text/media
+    # spans are ~half the span mass and the link UDF ignores them — the
+    # filter runs in codegen and halves the per-round Python traffic.
+    # pos semantics are untouched (pos ranks link spans only, by offset).
+    link_spans = F.expr("filter(spans, s -> s.kind IN ('link_book', 'link_next', 'link_cat'))")
     links = fetched.select(
         F.col("seq").alias("parent_seq"),
         F.col("depth").alias("parent_depth"),
-        F.explode(extract_links_canon_udf(parity=cfg.parity_mode)(F.col("url"), F.col("spans"))).alias(
+        F.explode(extract_links_canon_udf(parity=cfg.parity_mode)(F.col("url"), link_spans)).alias(
             "_l"
         ),
     ).select(
@@ -144,14 +149,40 @@ def run_round(
         links = links.filter(F.col("depth") <= cfg.max_depth)
     if cfg.enforce_robots and robots is not None:
         links = apply_robots(links, robots)
-    t = time.monotonic()
-    links = links.drop("path").withColumn("url_hash", F.xxhash64("url")).cache()
-    n_links = links.count() if cfg.collect_stats else -1
-    _mark("links", t)
+    links = links.drop("path").withColumn("url_hash", F.xxhash64("url"))
 
     # -- intra-batch dedup: first discovery wins (SURVEY.md §2.4) ----------
-    w = Window.partitionBy("url_hash", "url").orderBy("parent_seq", "pos")
-    unique_links = links.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    # Hash aggregate, NOT a sort window: min(struct(parent_seq, pos, ...))
+    # is exactly "row_number() over (partition by url order by parent_seq,
+    # pos) = 1" but with MAP-SIDE partial aggregation — the raw links table
+    # is ~16x its unique set on dup-heavy rounds, so partial agg collapses
+    # the shuffle volume by that factor before it hits the wire (the
+    # dominant bandwidth cost of a round; PLANS.md ledger). The dup count
+    # rides along, so the links_found stat costs one tiny job over the
+    # (cached, already-unique) result instead of a count over the raw
+    # links — extraction now runs exactly once per round.
+    t = time.monotonic()
+    unique_links = (
+        links.groupBy("url_hash", "url")
+        .agg(
+            F.min(F.struct("parent_seq", "pos", "depth", "host")).alias("_first"),
+            F.count(F.lit(1)).alias("_dups"),
+        )
+        .select(
+            "url_hash",
+            "url",
+            F.col("_first.parent_seq").alias("parent_seq"),
+            F.col("_first.pos").alias("pos"),
+            F.col("_first.depth").alias("depth"),
+            F.col("_first.host").alias("host"),
+            "_dups",
+        )
+        .cache()
+    )
+    n_links = unique_links.agg(F.sum("_dups")).first()[0] if cfg.collect_stats else -1
+    n_links = int(n_links) if n_links is not None else 0
+    unique_links = unique_links.drop("_dups")
+    _mark("links", t)
 
     # -- cross-round dedup: bloom prefilter + ground-truth anti-join -------
     # The "definitely new skips the anti-join" shortcut is only sound for
@@ -205,9 +236,12 @@ def run_round(
     enqueued_delta = pending_delta.select("url", "url_hash")
 
     if bloom is not None and cfg.use_bloom and n_new and not getattr(bloom, "degraded", False):
-        # a degraded filter is never consulted again — skip maintaining it
+        # a degraded filter is never consulted again — skip maintaining it.
+        # Fold from the CACHED pre-seq candidates: the url_hash set is
+        # identical to new_links', and reading new_links here would re-run
+        # the seq window + offset join once more per round.
         t = time.monotonic()
-        add_df_to_filter(bloom, new_links, "url_hash")
+        add_df_to_filter(bloom, candidates, "url_hash")
         _mark("bloom_add", t)
 
     wall_ms = int((time.monotonic() - t0) * 1000)
@@ -255,4 +289,4 @@ def run_round(
         "pages": pages_delta,
         "metrics": metrics_delta,
     }
-    return RoundResult(new_state, deltas, stats, drained=False, caches=(claim, fetched, links, candidates))
+    return RoundResult(new_state, deltas, stats, drained=False, caches=(claim, fetched, unique_links, candidates))

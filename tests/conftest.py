@@ -58,7 +58,7 @@ def seeds(small_spec) -> list[str]:
 
 @pytest.fixture(scope="session")
 def tiny_spec() -> CorpusSpec:
-    return CorpusSpec(seed=43, n_hosts=2, docs_per_host=6, links_per_doc=3)
+    return CorpusSpec(seed=43, n_hosts=2, docs_per_host=4, links_per_doc=3)
 
 
 @pytest.fixture(scope="session")
