@@ -368,3 +368,40 @@ def multimodal_features_meta(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@q(
+    "ivf_ann_topk",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 64 = 0),
+       scored_all AS (
+         SELECT e.vec_id, e.v, c.cid,
+                round(list_cosine_similarity(e.v, c.cv), 6) AS s
+         FROM e, c),
+       assigned AS (
+         SELECT vec_id, v, cid AS bucket FROM (
+           SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rk
+           FROM scored_all) WHERE rk = 1),
+       qprobe AS (
+         SELECT vec_id AS q_id, v AS qv, cid AS bucket FROM (
+           SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rk
+           FROM scored_all WHERE vec_id < 5) WHERE rk <= 2),
+       cand AS (
+         SELECT q.q_id, a.vec_id AS neighbor_id,
+                round(list_cosine_similarity(a.v, q.qv), 4) AS score
+         FROM assigned a JOIN qprobe q ON a.bucket = q.bucket AND a.vec_id <> q.q_id)
+       SELECT q_id, neighbor_id, score, rk AS rank FROM (
+         SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                        ORDER BY score DESC, neighbor_id) AS BIGINT) AS rk
+         FROM cand)
+       WHERE rk <= 5 ORDER BY q_id, rank""",
+    doc="IVF approximate top-k: deterministic coarse quantizer (centroids = "
+    "vec_id % 64 == 0), corpus bucket assignment as a pure codegen projection "
+    "over inlined centroid literals (no join on the big side), queries probe "
+    "their 2 nearest centroid lists; the oracle recomputes the identical IVF "
+    "in SQL — approximation is contract, not drift",
+)
+def ivf_ann_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    res = ann.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, centroid_stride=64, n_probe=2)
+    return res.orderBy("q_id", "rank")

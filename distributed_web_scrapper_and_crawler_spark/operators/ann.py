@@ -125,6 +125,86 @@ def _hyperplane_sig(vec_col: str, n_planes: int) -> F.Column:
     return sig.cast("int")
 
 
+def _cosine_to_lit(vec_col: str, cvec: list, round_to: int = 6) -> F.Column:
+    """cosine(vec_col, <literal centroid>) — the centroid is inlined as a
+    Catalyst array literal, so assignment is a pure projection (no join)."""
+    import math
+
+    arr = "array(" + ",".join(f"{x!r}D" for x in cvec) + ")"
+    dot = f"aggregate(zip_with({_as_double(vec_col)}, {arr}, (x, y) -> x * y), 0D, (s, v) -> s + v)"
+    na = f"sqrt(aggregate({_as_double(vec_col)}, 0D, (s, v) -> s + v * v))"
+    nb = math.sqrt(sum(float(x) * float(x) for x in cvec))
+    return F.round(F.expr(f"({dot}) / nullif(({na}) * {nb!r}D, 0D)"), round_to)
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    centroid_stride: int = 64,
+    n_probe: int = 2,
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the coarse-quantizer scale
+    path alongside lsh_ann_topk.
+
+    Centroids are the embeddings whose id is a multiple of
+    ``centroid_stride`` (a deterministic quantizer both engines can
+    reproduce — a trained k-means would be model state with the same
+    shape). Centroids are MODEL PARAMETERS: k rows x dim floats,
+    collected once and inlined as Catalyst literals, so corpus-side
+    bucket assignment (argmax centroid cosine, ties to the lowest cid)
+    is a pure whole-stage-codegen projection — no join, no shuffle of
+    the 10^10 side. Queries probe their ``n_probe`` nearest centroid
+    lists; candidates = one bucket equi-join.
+    """
+    cents = (
+        emb.filter((F.col(id_col) % centroid_stride) == 0)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .orderBy("cid")
+        .collect()
+    )
+    csigs = [(int(r["cid"]), [float(x) for x in r["cv"]]) for r in cents]
+
+    def scores(vc: str) -> F.Column:
+        return F.array(*[_cosine_to_lit(vc, cv) for _, cv in csigs])
+
+    cid_arr = F.array(*[F.lit(cid) for cid, _ in csigs])
+    # argmax: array_position finds the FIRST max => ties break to the
+    # lowest cid (cids are ascending) — mirrored in the SQL oracle's
+    # row_number ORDER BY s DESC, cid
+    bucket = F.element_at(cid_arr, F.array_position(scores(vec_col), F.array_max(scores(vec_col))).cast("int"))
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), bucket.alias("bucket")
+    )
+    zipped = F.zip_with(scores(vec_col), cid_arr, lambda s, cid: F.struct(s.alias("s"), cid.alias("cid")))
+    ordered = F.array_sort(
+        zipped,
+        lambda a, b: F.when(a["s"] > b["s"], -1)
+        .when(a["s"] < b["s"], 1)
+        .when(a["cid"] < b["cid"], -1)
+        .when(a["cid"] > b["cid"], 1)
+        .otherwise(0),
+    )
+    probes = F.transform(F.slice(ordered, 1, n_probe), lambda x: x["cid"])
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), F.explode(probes).alias("bucket")
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("q_id") != F.col("neighbor_id"))
+        .withColumn("score", F.round(cosine_expr("q_vec", "c_vec"), round_to))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select("q_id", "neighbor_id", "score", F.col("_rk").cast("long").alias("rank"))
+    )
+
+
 def hyperplane_sig_sql(vec_expr: str, n_planes: int) -> str:
     """DuckDB rendering of ``_hyperplane_sig`` — bit-identical buckets.
 

@@ -21,8 +21,10 @@ Engine modes:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from distributed_web_scrapper_and_crawler_spark.config import CrawlConfig
 
@@ -72,6 +74,83 @@ def claim_batch(pending: DataFrame, cfg: CrawlConfig) -> DataFrame:
 
 
 ROBOTS_SCHEMA = "host string, disallow_prefixes array<string>, crawl_delay_s double"
+
+
+def parse_robots_txt(robots_texts: DataFrame, user_agent: str = "*") -> DataFrame:
+    """(host, robots_txt) -> the engine's robots rules table.
+
+    A vectorized pandas UDF parses raw robots.txt bodies: the
+    most-specific matching User-agent group wins (exact agent name over
+    '*', per RFC 9309 §2.2.1 group selection), its Disallow paths become
+    prefix rules and Crawl-delay becomes ``crawl_delay_s``. Empty
+    Disallow (allow-all) and comments are handled; unknown directives
+    ignored. New capability — the reference never reads robots.txt at
+    all (SURVEY.md §2.5)."""
+    ua = user_agent.lower()
+
+    def parse_one(text: str) -> tuple[list[str], float | None]:
+        groups: list[tuple[list[str], list[str], float | None]] = []  # (agents, disallows, delay)
+        agents: list[str] = []
+        disallows: list[str] = []
+        delay: float | None = None
+        in_group_body = False
+
+        def flush():
+            nonlocal agents, disallows, delay, in_group_body
+            if agents:
+                groups.append((agents, disallows, delay))
+            agents, disallows, delay = [], [], None
+            in_group_body = False
+
+        for raw in (text or "").splitlines():
+            line = raw.split("#", 1)[0].strip()
+            if not line or ":" not in line:
+                continue
+            key, _, val = line.partition(":")
+            key, val = key.strip().lower(), val.strip()
+            if key == "user-agent":
+                if in_group_body:
+                    flush()
+                agents.append(val.lower())
+            elif key == "disallow":
+                in_group_body = True
+                if val:
+                    disallows.append(val)
+            elif key == "crawl-delay":
+                in_group_body = True
+                try:
+                    delay = float(val)
+                except ValueError:
+                    pass
+        flush()
+        exact = [g for g in groups if ua in g[0]]
+        star = [g for g in groups if "*" in g[0]]
+        chosen = exact or star
+        if not chosen:
+            return [], None
+        dis = [p for g in chosen for p in g[1]]
+        delays = [g[2] for g in chosen if g[2] is not None]
+        return dis, (delays[0] if delays else None)
+
+    schema = T.StructType(
+        [
+            T.StructField("disallow_prefixes", T.ArrayType(T.StringType())),
+            T.StructField("crawl_delay_s", T.DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def _parse(texts: pd.Series) -> pd.DataFrame:
+        dis, delay = [], []
+        for t in texts:
+            d, c = parse_one(t)
+            dis.append(d)
+            delay.append(c)
+        return pd.DataFrame({"disallow_prefixes": dis, "crawl_delay_s": delay})
+
+    return robots_texts.select(
+        "host", _parse(F.col("robots_txt")).alias("_r")
+    ).select("host", "_r.disallow_prefixes", "_r.crawl_delay_s")
 
 
 def apply_robots(links: DataFrame, robots: DataFrame) -> DataFrame:

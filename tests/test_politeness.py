@@ -137,3 +137,40 @@ def test_time_derived_budget(spark):
     cfg3 = CrawlConfig(parity_mode=False, per_host_budget=100, rate_limit=30.0, round_duration_s=6.0)
     n3 = claim_batch(pending, cfg3).groupBy("host").count().collect()
     assert all(r["count"] == 1 for r in n3)
+
+
+def test_parse_robots_txt(spark):
+    """RFC 9309 group selection: exact agent group beats '*'; comments,
+    empty Disallow (allow-all) and Crawl-delay handled; the parsed table
+    drives apply_robots end-to-end."""
+    from distributed_web_scrapper_and_crawler_spark.plans.politeness import parse_robots_txt
+
+    body_a = """# site A
+User-agent: dwsc-spark
+Disallow: /private
+Disallow: /tmp
+Crawl-delay: 2.5
+
+User-agent: *
+Disallow: /
+"""
+    body_b = """User-agent: *
+Disallow:
+"""
+    body_c = """User-agent: otherbot
+Disallow: /x
+"""
+    df = spark.createDataFrame(
+        [("a.t", body_a), ("b.t", body_b), ("c.t", body_c)], "host string, robots_txt string"
+    )
+    rules = {r["host"]: r for r in parse_robots_txt(df, user_agent="dwsc-spark").collect()}
+    assert rules["a.t"]["disallow_prefixes"] == ["/private", "/tmp"]  # exact group wins over *
+    assert rules["a.t"]["crawl_delay_s"] == 2.5
+    assert rules["b.t"]["disallow_prefixes"] == []  # empty Disallow = allow all
+    assert rules["c.t"]["disallow_prefixes"] == []  # no matching group
+
+    links = spark.createDataFrame(
+        [("a.t", "/private/x"), ("a.t", "/ok"), ("b.t", "/anything")], "host string, path string"
+    )
+    got = sorted((r["host"], r["path"]) for r in apply_robots(links, parse_robots_txt(df, "dwsc-spark")).collect())
+    assert got == [("a.t", "/ok"), ("b.t", "/anything")]

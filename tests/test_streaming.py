@@ -65,3 +65,43 @@ def test_seed_stream_bridge(spark, small_corpus, small_spec, tmp_path):
     assert eng.state.seen.count() > 0
     # idempotence: enqueue the same seeds again -> 0 new
     assert eng.enqueue_seeds([f"http://{small_spec.hosts[0]}/page/0"]) == 0
+
+
+def test_stateful_stream_dedup(spark, tmp_path):
+    """applyInPandasWithState cross-batch dedup: duplicates arriving in a
+    LATER micro-batch must be suppressed by the per-host GroupState."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_web_scrapper_and_crawler_spark.streaming.stateful import dedup_url_stream
+
+    src = tmp_path / "urls_src"
+    src.mkdir()
+    schema = pa.schema([("host", pa.string()), ("url", pa.string()), ("url_hash", pa.int64())])
+    batch1 = [("a.t", "http://a.t/1", 1), ("a.t", "http://a.t/2", 2), ("b.t", "http://b.t/1", 10)]
+    batch2 = [("a.t", "http://a.t/1", 1), ("a.t", "http://a.t/3", 3), ("b.t", "http://b.t/1", 10)]
+    for i, rows in enumerate((batch1, batch2)):
+        pq.write_table(pa.Table.from_pylist([dict(zip(("host", "url", "url_hash"), r)) for r in rows], schema=schema), str(src / f"b{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema("host string, url string, url_hash long")
+        .option("maxFilesPerTrigger", 1)  # forces two separate micro-batches
+        .parquet(str(src))
+    )
+    out = dedup_url_stream(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("dwsc_stateful_dedup")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r["host"], r["url_hash"]) for r in spark.table("dwsc_stateful_dedup").collect()
+    )
+    # url_hash 1 and 10 reappear in batch 2 and must NOT be re-admitted
+    assert got == [("a.t", 1), ("a.t", 2), ("a.t", 3), ("b.t", 10)]
