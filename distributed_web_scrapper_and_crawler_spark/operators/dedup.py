@@ -49,8 +49,24 @@ def exact_dedup_keep_first(df: DataFrame, id_col: str, text_col: str) -> DataFra
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
-def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 8) -> DataFrame:
-    """(id, shingle) distinct — the inverted-index side of similarity joins."""
+def shingle_table(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8, local_distinct: bool = True
+) -> DataFrame:
+    """(id, shingle) distinct — the inverted-index side of similarity joins.
+
+    (id, shingle)-distinct is per-DOCUMENT distinct, so the default
+    computes it row-locally with ``array_distinct`` before the explode —
+    zero shuffle, where a post-explode ``.distinct()`` shuffles every
+    shingle occurrence (~150x the document count). The shuffle variant
+    (``local_distinct=False``) exists because a downstream SELF-join
+    (minhash LSH) measured 2x faster with it: the distinct's exchange is
+    shared by both join sides, making the pipeline compute-once, which
+    beats saving the shuffle (sf0.1 measurements in PLANS.md ledger)."""
+    if local_distinct:
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(char_ngrams(text_col, n))).alias("shingle"),
+        )
     return (
         df.select(F.col(id_col).alias("id"), F.explode(char_ngrams(text_col, n)).alias("shingle"))
         .distinct()
@@ -96,9 +112,13 @@ def minhash_table(df: DataFrame, id_col: str, text_col: str, n_hashes: int = 8, 
     """(id, h, minhash): k independent minhashes via seed-concat md5 hashing.
 
     One explode of the shingle set, then one groupBy — the per-seed hash
-    is ``md5(concat(seed, '#', shingle))`` so the oracle can reproduce it.
-    """
-    sh = shingle_table(df, id_col, text_col, ngram)
+    is ``md5(concat(seed, '#', shingle))`` so the oracle can reproduce
+    it. The k-way seed explode looks expensive but ISN'T the shuffle: the
+    (id, h) groupBy partial-aggregates map-side, so only k rows per doc
+    hit the wire — and the generator pipeline codegens better than the
+    measured alternative (k min-aggregate columns + stack unpivot ran
+    5x slower at sf0.1; PLANS.md ledger)."""
+    sh = shingle_table(df, id_col, text_col, ngram, local_distinct=False)
     seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("h")
     exploded = sh.select("id", "shingle", seeds)
     hv = md5_long(F.concat_ws("#", F.col("h").cast("string"), F.col("shingle")))
