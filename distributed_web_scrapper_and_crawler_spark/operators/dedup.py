@@ -90,6 +90,13 @@ def ngram_jaccard_pairs(
     if max_shingle_df is not None:
         hot = sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_df).select("shingle")
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    # materialize the inverted index ONCE: it feeds four consumers (both
+    # self-join sides + the size table twice) and Catalyst plans no
+    # exchange reuse across them — without this the shingling + hot-filter
+    # pipeline runs four times (measured ~2x the query wall at sf0.1).
+    # The real-system analog is writing the inverted index before the
+    # pair-generation pass.
+    sh = sh.localCheckpoint()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     l, r = sh.alias("l"), sh.alias("r")
     shared = (
@@ -144,6 +151,9 @@ def lsh_candidate_pairs(minhash: DataFrame, bands: int = 4, rows_per_band: int =
         )
         .withColumn("sig", F.concat_ws(":", "_s", "_m", "_x"))
         .select("id", "band", "sig")
+        # both self-join sides read this; materialize once (same
+        # no-exchange-reuse rationale as ngram_jaccard_pairs)
+        .localCheckpoint()
     )
     l, r = banded.alias("l"), banded.alias("r")
     return (
