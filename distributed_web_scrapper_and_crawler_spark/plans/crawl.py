@@ -26,6 +26,7 @@ from distributed_web_scrapper_and_crawler_spark.operators.bloom import (
 )
 from distributed_web_scrapper_and_crawler_spark.plans.checkpoint import CheckpointStore
 from distributed_web_scrapper_and_crawler_spark.plans.round import run_round
+from distributed_web_scrapper_and_crawler_spark.plans.seq import assign_global_seq
 from distributed_web_scrapper_and_crawler_spark.plans.state import CrawlState, empty_state
 
 
@@ -94,8 +95,9 @@ class CrawlEngine:
         seeds = seeds.filter(allowed_domain_filter(F.col("host"), self.cfg.allowed_domains))
         w = Window.partitionBy("url").orderBy("input_order")
         seeds = seeds.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
-        # seed count is tiny; a plain global window for seq is fine here
-        seeds = seeds.withColumn("seq", F.row_number().over(Window.orderBy("input_order")) - 1)
+        # bucketed dense rank, NOT a global single-partition window: bench
+        # frontiers seed 100k+ URLs at once (plans/seq.py)
+        seeds, n = assign_global_seq(seeds, start=0, order_cols=("input_order",))
         pending = seeds.select(
             "url",
             F.xxhash64("url").alias("url_hash"),
@@ -105,7 +107,6 @@ class CrawlEngine:
             F.col("seq").cast("long"),
             F.lit("seed").alias("added_by"),
         ).localCheckpoint()
-        n = pending.count()
         state = state.evolve(
             pending=pending,
             enqueued=pending.select("url", "url_hash"),
@@ -145,17 +146,17 @@ class CrawlEngine:
         seeds = seeds.withColumn("url_hash", F.xxhash64("url")).join(
             st.enqueued, ["url_hash", "url"], "left_anti"
         )
-        seeds = seeds.withColumn("seq", F.row_number().over(Window.orderBy("input_order")) - 1)
+        # bucketed dense rank (no single-partition window), like seed()
+        seeds, n = assign_global_seq(seeds, start=st.max_seq, order_cols=("input_order",))
         rows = seeds.select(
             "url",
             "url_hash",
             "host",
             F.lit(0).alias("depth"),
             F.lit(st.round + 1).alias("discovered_round"),
-            (F.col("seq") + st.max_seq).cast("long").alias("seq"),
+            F.col("seq").cast("long").alias("seq"),
             F.lit("seed").alias("added_by"),
         ).localCheckpoint()
-        n = rows.count()
         if n:
             if self.bloom is not None:
                 add_df_to_filter(self.bloom, rows, "url_hash")

@@ -32,3 +32,35 @@ def test_empty_input(spark):
     df = spark.createDataFrame([], "parent_seq long, pos int")
     got, n = assign_global_seq(df, start=0)
     assert n == 0 and got.count() == 0
+
+
+def test_per_partition_lineage_metrics(spark, tiny_corpus, tiny_seeds):
+    """collect_partition_metrics=True records per-partition rows in the
+    metrics table (the north rule's per-partition lineage; the engine
+    analog of the reference's worker registry, SURVEY.md §1.1 row 4)."""
+    from pyspark.sql import functions as F
+
+    from distributed_web_scrapper_and_crawler_spark.config import CrawlConfig
+    from distributed_web_scrapper_and_crawler_spark.plans.crawl import CrawlEngine
+
+    eng = CrawlEngine(
+        spark=spark, corpus=tiny_corpus, cfg=CrawlConfig(parity_mode=True, round_budget=32)
+    )
+    eng.seed(tiny_seeds)
+    eng.run(max_rounds=2, collect_partition_metrics=True)
+    m = eng.state.metrics
+    agg_rows = m.filter(F.col("partition_id") == -1).count()
+    part_rows = m.filter(F.col("partition_id") >= 0)
+    assert agg_rows >= 2  # one aggregate row per round
+    assert part_rows.count() > 0
+    # per-partition link counts reconcile with the per-round aggregates
+    per_round_sum = {
+        r["round"]: r["s"]
+        for r in part_rows.groupBy("round").agg(F.sum("links_new").alias("s")).collect()
+    }
+    agg = {
+        r["round"]: r["links_new"]
+        for r in m.filter(F.col("partition_id") == -1).collect()
+    }
+    for rnd, s in per_round_sum.items():
+        assert s == agg[rnd]
