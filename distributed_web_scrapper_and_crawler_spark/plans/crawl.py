@@ -403,6 +403,17 @@ class CrawlEngine:
                 c.unpersist()
 
     # -- observability ----------------------------------------------------
+    def register_views(self, prefix: str = "crawl_") -> list[str]:
+        """Expose the state tables as temp views so users can spark.sql()
+        over them — the engine analog of pointing a dashboard at the
+        reference's Mongo collections (app.py:144-149)."""
+        assert self.state is not None
+        names = []
+        for name in ("pending", "done", "seen", "enqueued", "pages", "metrics"):
+            getattr(self.state, name).createOrReplaceTempView(prefix + name)
+            names.append(prefix + name)
+        return names
+
     def claim_order(self) -> list[str]:
         """Reconstruct the global claim sequence from the done table —
         the engine analog of the oracle's claim_order."""

@@ -64,3 +64,27 @@ def test_per_partition_lineage_metrics(spark, tiny_corpus, tiny_seeds):
     }
     for rnd, s in per_round_sum.items():
         assert s == agg[rnd]
+
+
+def test_register_views_sql_surface(spark, tiny_corpus, tiny_seeds):
+    """spark.sql over the crawl state tables (the dashboard-scan analog,
+    app.py:144-149)."""
+    from distributed_web_scrapper_and_crawler_spark.config import CrawlConfig
+    from distributed_web_scrapper_and_crawler_spark.plans.crawl import CrawlEngine
+
+    eng = CrawlEngine(
+        spark=spark, corpus=tiny_corpus, cfg=CrawlConfig(parity_mode=True, round_budget=32)
+    )
+    eng.seed(tiny_seeds)
+    eng.run(max_rounds=2)
+    views = eng.register_views()
+    assert "crawl_pages" in views
+    n_sql = spark.sql("SELECT count(*) AS n FROM crawl_pages").collect()[0]["n"]
+    assert n_sql == eng.state.pages.count()
+    by_status = {
+        r["status"]: r["n"]
+        for r in spark.sql(
+            "SELECT status, count(*) AS n FROM crawl_done GROUP BY status"
+        ).collect()
+    }
+    assert by_status.get("completed", 0) > 0
