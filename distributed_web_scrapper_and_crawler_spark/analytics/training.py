@@ -405,3 +405,18 @@ def ivf_ann_topk(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     res = ann.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, centroid_stride=64, n_probe=2)
     return res.orderBy("q_id", "rank")
+
+
+@q(
+    "dedup_keep_first",
+    """SELECT doc_id, md5(text) AS fp FROM (
+         SELECT doc_id, text,
+                row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+         FROM documents)
+       WHERE rk = 1 ORDER BY doc_id""",
+    doc="exact-dedup survivors: lowest doc_id per identical content "
+    "(keep-first rule, mirroring the crawl's first-discovery tie-break)",
+)
+def dedup_keep_first(spark, sf_dir):
+    out = dedup.exact_dedup_keep_first(t(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.select("doc_id", F.md5("text").alias("fp")).orderBy("doc_id")

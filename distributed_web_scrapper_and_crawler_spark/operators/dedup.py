@@ -98,7 +98,11 @@ def ngram_jaccard_pairs(
     # pair-generation pass.
     sh = sh.localCheckpoint()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    l, r = sh.alias("l"), sh.alias("r")
+    # shuffle-hash, never broadcast: the inverted index is the BIG side at
+    # scale — AQE otherwise broadcasts the whole 725k-row table at sf0.1
+    # (driver-built hash table; impossible at 100x), and shuffle_hash also
+    # measured faster locally
+    l, r = sh.hint("shuffle_hash").alias("l"), sh.hint("shuffle_hash").alias("r")
     shared = (
         l.join(r, "shingle")
         .filter(F.col("l.id") < F.col("r.id"))
