@@ -179,7 +179,9 @@ def bloom_maybe_contains_udf(spark, bloom: NumpyBloom):
 def filter_maybe_contains_udf(spark, filt):
     """Generic membership probe for any filter with ``contains(int64[])``
     (NumpyBloom uses the specialized zero-copy path above; CuckooFilter
-    and ShardedBloom broadcast as pickled objects)."""
+    broadcasts as a pickled object; ShardedBloom must go through
+    ``sharded_probe_maybe`` instead — a monolithic broadcast of all
+    shards is exactly what sharding exists to avoid)."""
     if isinstance(filt, NumpyBloom):
         return bloom_maybe_contains_udf(spark, filt)
     bc = spark.sparkContext.broadcast(filt)
@@ -189,6 +191,45 @@ def filter_maybe_contains_udf(spark, filt):
         return pd.Series(bc.value.contains(np.asarray(h, dtype=np.int64)))
 
     return _maybe
+
+
+def sharded_probe_maybe(spark, sb: "ShardedBloom", df: DataFrame, hash_col: str = "url_hash") -> DataFrame:
+    """Shard-LOCAL membership probe — the 10^10 read path.
+
+    Each shard's bitmap ships as its OWN broadcast; PySpark broadcasts
+    fetch lazily on first ``.value`` access, so a task pulls only the
+    shards whose keys land in its partition. The input is repartitioned
+    by ``pmod(hash, n_shards)`` first, so a task sees ~1 shard — at
+    10^10 keys that is ~tens of MB of bits per task instead of the
+    impossible 12 GB all-shards broadcast. Returns ``df`` plus a
+    ``_maybe`` boolean column. Cost: one extra (round-delta-sized)
+    shuffle, traded for O(total-bits / n_shards) memory per task.
+    """
+    import pyspark.sql.types as T
+
+    bcs = [spark.sparkContext.broadcast(sh.to_bytes()) for sh in sb.shards]
+    n_bits, k, n_shards = sb.shards[0].n_bits, sb.shards[0].k, sb.n_shards
+
+    def per_partition(it):
+        loaded: dict[int, NumpyBloom] = {}
+        for pdf in it:
+            h = np.asarray(pdf[hash_col], dtype=np.int64)
+            u = h.view(np.uint64)
+            sid = (u % np.uint64(n_shards)).astype(np.int64)
+            out = np.zeros(len(h), dtype=bool)
+            for s in np.unique(sid):
+                s = int(s)
+                if s not in loaded:  # lazy fetch: only this task's shards
+                    loaded[s] = NumpyBloom.from_bytes(bcs[s].value, n_bits, k, writable=False)
+                m = sid == s
+                out[m] = loaded[s].contains(h[m])
+            pdf = pdf.copy()
+            pdf["_maybe"] = out
+            yield pdf
+
+    out_schema = T.StructType(df.schema.fields + [T.StructField("_maybe", T.BooleanType())])
+    part = df.repartition(n_shards, F.pmod(F.col(hash_col), F.lit(n_shards)))
+    return part.mapInPandas(per_partition, out_schema)
 
 
 def add_df_to_filter(filt, df: DataFrame, hash_col: str = "url_hash"):

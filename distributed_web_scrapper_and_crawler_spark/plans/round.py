@@ -190,8 +190,17 @@ def run_round(
     # CuckooFilter until an overflowed insert or a delete sets .degraded —
     # then every link pays the anti-join: slower, never wrong).
     if bloom is not None and cfg.use_bloom and not getattr(bloom, "degraded", False):
-        maybe = filter_maybe_contains_udf(spark, bloom)
-        flagged = unique_links.withColumn("_maybe", maybe("url_hash"))
+        from distributed_web_scrapper_and_crawler_spark.operators.bloom import (
+            ShardedBloom,
+            sharded_probe_maybe,
+        )
+
+        if isinstance(bloom, ShardedBloom):
+            # shard-local probe: tasks fetch only their shard's bits
+            flagged = sharded_probe_maybe(spark, bloom, unique_links, "url_hash")
+        else:
+            maybe = filter_maybe_contains_udf(spark, bloom)
+            flagged = unique_links.withColumn("_maybe", maybe("url_hash"))
         definite_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
         residue = (
             flagged.filter(F.col("_maybe"))

@@ -123,3 +123,20 @@ def test_cuckoo_fpp_sane(n):
     cf = CuckooFilter(capacity=2 * n)
     cf.insert(members)
     assert cf.contains(others).mean() < 0.05
+
+
+def test_sharded_probe_matches_direct_contains(spark):
+    """The shard-local probe (per-shard lazy broadcasts + pmod
+    repartition) must agree exactly with ShardedBloom.contains."""
+    from distributed_web_scrapper_and_crawler_spark.operators.bloom import sharded_probe_maybe
+
+    rng = np.random.RandomState(9)
+    members = rng.randint(-(2**62), 2**62, size=4_000).astype(np.int64)
+    probes = np.concatenate([members[:2_000], rng.randint(-(2**62), 2**62, size=2_000)]).astype(np.int64)
+    sb = ShardedBloom(n_shards=8, expected_n=4_000)
+    sb.add(members)
+    df = spark.createDataFrame([(int(h),) for h in probes], "url_hash long").repartition(5)
+    got = {r["url_hash"]: r["_maybe"] for r in sharded_probe_maybe(spark, sb, df).collect()}
+    want = dict(zip((int(x) for x in probes), (bool(b) for b in sb.contains(probes))))
+    assert got == want
+    assert all(got[int(h)] for h in members[:2000])  # zero false negatives
