@@ -7,6 +7,7 @@ MinHash/SimHash are value-checked against DuckDB, not just row-counted.
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from distributed_web_scrapper_and_crawler_spark.analytics.queries import QUERY_REGISTRY, q, t
@@ -420,3 +421,30 @@ def ivf_ann_topk(spark, sf_dir):
 def dedup_keep_first(spark, sf_dir):
     out = dedup.exact_dedup_keep_first(t(spark, sf_dir, "documents"), "doc_id", "text")
     return out.select("doc_id", F.md5("text").alias("fp")).orderBy("doc_id")
+
+
+# --------------------------------------------- crawl -> training bridge
+
+
+def pages_to_documents(pages: DataFrame) -> DataFrame:
+    """Crawl output -> the training-pipeline ``documents`` table shape.
+
+    One expression-only projection (no UDF): text = the page's text spans
+    joined in offset order (``spans`` is stored offset-sorted by the
+    round plan), source = host, n_chars = length. The result plugs
+    directly into every operator of this module (dedup, quality, lang-ID,
+    token stats, fingerprints) — the end-to-end story a corpus pipeline
+    needs: crawl -> documents -> curate.
+    """
+    text = F.array_join(
+        F.expr("transform(filter(spans, s -> s.kind = 'text'), s -> s.text)"), " "
+    )
+    return pages.select(
+        F.xxhash64("url").alias("doc_id"),
+        text.alias("text"),
+        F.lit("und").alias("lang"),
+        F.parse_url("url", F.lit("HOST")).alias("source"),
+        F.length(text).cast("long").alias("n_chars"),
+        F.col("url"),
+        F.col("depth"),
+    )
