@@ -71,12 +71,16 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
 
 def _bench_corpus(spark, n_docs: int):
-    """Deterministic bench corpus, cached to /tmp keyed by its spec."""
+    """Deterministic bench corpus, cached to /tmp keyed by its spec.
+
+    Generated DISTRIBUTED (one task per host, per-host seeded RNG —
+    sources/corpus.py generate_corpus_spark): the serial pandas generator
+    costs ~2 min of driver time at 400k docs; parallel generation is
+    ~10 s and the corpus shape/statistics are identical."""
     from distributed_web_scrapper_and_crawler_spark.config import CorpusSpec
     from distributed_web_scrapper_and_crawler_spark.sources.corpus import (
-        generate_corpus,
+        generate_corpus_spark,
         read_corpus,
-        write_corpus_parquet,
     )
 
     n_hosts = 40
@@ -89,10 +93,10 @@ def _bench_corpus(spark, n_docs: int):
         query_fragment_rate=0.5,
         relative_href_rate=0.4,
     )
-    key = hashlib.md5(repr(spec).encode()).hexdigest()[:12]
+    key = hashlib.md5(("v2:" + repr(spec)).encode()).hexdigest()[:12]
     path = f"/tmp/dwsc_bench_corpus_{key}.parquet"
-    if not os.path.exists(path):
-        write_corpus_parquet(generate_corpus(spec), path)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        generate_corpus_spark(spark, spec).write.mode("overwrite").parquet(path)
     return read_corpus(spark, path), spec
 
 

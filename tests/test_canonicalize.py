@@ -64,3 +64,30 @@ def test_udf_matches_py(spark):
     for parity, ref in ((True, normalize_url_py), (False, canonicalize_url_py)):
         got = df.select(canonicalize_udf(parity)("url").alias("c")).select("c.url").collect()
         assert [r["url"] for r in got] == [ref(u) for u in urls]
+
+
+def test_allow_filter_case_sensitive_parity(spark):
+    """Reference parity: `any(d in parsed.netloc)` is CASE-SENSITIVE on
+    the raw netloc (distributed_crawler.py:67-73) — a mixed-case host
+    must NOT match a lowercase allowed domain in parity mode (ADVICE r1,
+    canonicalize low finding)."""
+    from distributed_web_scrapper_and_crawler_spark.functions.canonicalize import (
+        allowed_domain_filter,
+        canonicalize_udf,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("http://BOOKS.ToScrape.com/x",), ("http://books.toscrape.com/y",)], "raw string"
+    )
+    parity = df.select(canonicalize_udf(parity=True)("raw").alias("c")).select(
+        F.col("c.host").alias("host")
+    )
+    kept = [r["host"] for r in parity.filter(allowed_domain_filter(F.col("host"), ("books.toscrape.com",))).collect()]
+    assert kept == ["books.toscrape.com"]  # mixed-case host rejected, like the reference
+    # production mode lowercases the host => both match
+    prod = df.select(canonicalize_udf(parity=False)("raw").alias("c")).select(
+        F.col("c.host").alias("host")
+    )
+    kept2 = prod.filter(allowed_domain_filter(F.col("host"), ("books.toscrape.com",))).count()
+    assert kept2 == 2
