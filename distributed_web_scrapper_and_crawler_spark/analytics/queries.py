@@ -17,6 +17,7 @@ aren't SQL-expressible carry ``sql=None`` (driver does rows-only checks).
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 from typing import Callable
 
@@ -211,7 +212,12 @@ def search_documents(spark, sf_dir, query: str, k: int = 10) -> DataFrame:
     score = F.lit(0).cast("long")
     present = F.lit(True)
     for w in terms:
-        hits = F.size(F.expr(f"regexp_extract_all(lower(text), '\\\\b{w}\\\\b', 0)")).cast("long")
+        # user terms are DATA, not pattern: regex-escape them (a query like
+        # 'c++' or '(' must search literally, not throw a pattern error),
+        # and pass the pattern as a Column literal so no SQL-string
+        # escaping layer can reinterpret the backslashes
+        pat = rf"\b{re.escape(w)}\b"
+        hits = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(pat), F.lit(0))).cast("long")
         score = score + hits
         present = present & (hits > 0)
     return (
@@ -225,7 +231,12 @@ def search_documents(spark, sf_dir, query: str, k: int = 10) -> DataFrame:
 
 
 def _search_sql(terms: list[str], k: int = 10) -> str:
-    hit = lambda w: f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))"  # noqa: E731
+    def hit(w: str) -> str:
+        # mirror the Spark path's escaping: term is literal data inside the
+        # pattern; double single-quotes for the SQL string literal
+        pat = rf"\b{re.escape(w.lower())}\b".replace("'", "''")
+        return f"len(regexp_extract_all(lower(text), '{pat}'))"
+
     score = " + ".join(hit(w) for w in terms)
     present = " AND ".join(f"{hit(w)} > 0" for w in terms)
     return f"""SELECT doc_id, CAST({score} AS BIGINT) AS score
@@ -250,6 +261,96 @@ def text_search(spark, sf_dir):
 )
 def text_search_multi(spark, sf_dir):
     return search_documents(spark, sf_dir, "table scan")
+
+
+def search_documents_ranked(spark, sf_dir, query: str, k: int = 10) -> DataFrame:
+    """BM25-ranked text search — the relevance-scored upgrade of
+    ``search_documents`` closing the documented weaker-than-reference
+    contract (Mongo ``$text`` textScore, /root/reference/api.py:52-55).
+
+    Okapi BM25 (k1=1.2, b=0.75) over the same \\b-word term frequencies:
+    idf(w) = ln(1 + (N - df + 0.5)/(df + 0.5)), dl = whitespace token
+    count. OR semantics (any term present), top-k by (score desc, doc_id).
+    Shape: one scan computes per-term tf + dl; corpus stats (N, avgdl,
+    per-term df) are ONE aggregated row broadcast back — no second scan
+    shuffle, no driver collect of data rows.
+    """
+    terms = [w.lower() for w in query.split() if w]
+    docs = t(spark, sf_dir, "documents")
+    tf_cols = []
+    for i, w in enumerate(terms):
+        pat = rf"\b{re.escape(w)}\b"
+        tf_cols.append(
+            F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(pat), F.lit(0)))
+            .cast("double")
+            .alias(f"_tf{i}")
+        )
+    base = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double").alias("_dl"),
+        *tf_cols,
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.avg("_dl").alias("_avgdl"),
+        *[F.sum((F.col(f"_tf{i}") > 0).cast("double")).alias(f"_df{i}") for i in range(len(terms))],
+    )
+    k1, b = 1.2, 0.75
+    scored = base.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        idf = F.log(
+            F.lit(1.0) + (F.col("_n") - F.col(f"_df{i}") + 0.5) / (F.col(f"_df{i}") + 0.5)
+        )
+        tf = F.col(f"_tf{i}")
+        score = score + idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * F.col("_dl") / F.col("_avgdl")))
+    return (
+        scored.withColumn("score", F.round(score, 4))
+        .filter(sum(F.col(f"_tf{i}") for i in range(len(terms))) > 0)
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def _search_ranked_sql(terms: list[str], k: int = 10) -> str:
+    """DuckDB twin of search_documents_ranked — identical BM25 math."""
+
+    def tf(w: str) -> str:
+        pat = rf"\b{re.escape(w.lower())}\b".replace("'", "''")
+        return f"CAST(len(regexp_extract_all(lower(text), '{pat}')) AS DOUBLE)"
+
+    tf_sel = ", ".join(f"{tf(w)} AS _tf{i}" for i, w in enumerate(terms))
+    df_sel = ", ".join(
+        f"sum(CASE WHEN _tf{i} > 0 THEN 1.0 ELSE 0.0 END) AS _df{i}" for i in range(len(terms))
+    )
+    score = " + ".join(
+        f"ln(1.0 + (_n - _df{i} + 0.5) / (_df{i} + 0.5))"
+        f" * (_tf{i} * 2.2) / (_tf{i} + 1.2 * (1 - 0.75 + 0.75 * _dl / _avgdl))"
+        for i in range(len(terms))
+    )
+    any_tf = " + ".join(f"_tf{i}" for i in range(len(terms)))
+    return f"""WITH base AS (
+         SELECT doc_id,
+                CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS _dl,
+                {tf_sel}
+         FROM documents),
+       stats AS (
+         SELECT CAST(count(*) AS DOUBLE) AS _n, avg(_dl) AS _avgdl, {df_sel} FROM base)
+       SELECT doc_id, round({score}, 4) AS score
+       FROM base CROSS JOIN stats
+       WHERE ({any_tf}) > 0
+       ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
+@q(
+    "text_search_ranked",
+    _search_ranked_sql(["table", "scan"]),
+    doc="BM25-ranked multi-term search (relevance-scored /search?q=, api.py:52-55): "
+    "idf-weighted term frequency with length normalization, oracle reproduces the idf math",
+)
+def text_search_ranked(spark, sf_dir):
+    return search_documents_ranked(spark, sf_dir, "table scan")
 
 
 @q(

@@ -71,22 +71,39 @@ def minhash_signatures(spark, sf_dir):
     )
 
 
-@q(
-    "lsh_candidate_pairs",
-    f"""WITH {_MINHASH_CTE},
+def _lsh_oracle_sql(rows_per_band: int) -> str:
+    """Oracle twin of dedup.lsh_candidate_pairs: ordered band signature
+    (minhashes concatenated in h order — injective at ANY rows_per_band)."""
+    return f"""WITH {_MINHASH_CTE},
        banded AS (
-         SELECT id, CAST(floor(h / 2) AS INT) AS band,
-                concat(CAST(sum(minhash) AS VARCHAR), ':', CAST(min(minhash) AS VARCHAR),
-                       ':', CAST(max(minhash) AS VARCHAR)) AS sig
-         FROM minhash GROUP BY id, CAST(floor(h / 2) AS INT))
+         SELECT id, CAST(floor(h / {rows_per_band}) AS INT) AS band,
+                string_agg(CAST(minhash AS VARCHAR), ':' ORDER BY h) AS sig
+         FROM minhash GROUP BY id, CAST(floor(h / {rows_per_band}) AS INT))
        SELECT DISTINCT l.id AS a, r.id AS b
        FROM banded l JOIN banded r ON l.band = r.band AND l.sig = r.sig AND l.id < r.id
-       ORDER BY a, b""",
+       ORDER BY a, b"""
+
+
+@q(
+    "lsh_candidate_pairs",
+    _lsh_oracle_sql(rows_per_band=2),
     doc="MinHash-LSH: banded signatures -> bucket self-join (no cross join)",
 )
 def lsh_candidate_pairs(spark, sf_dir):
     mh = dedup.minhash_table(t(spark, sf_dir, "documents"), "doc_id", "text", n_hashes=8, ngram=8)
     return dedup.lsh_candidate_pairs(mh, bands=4, rows_per_band=2).orderBy("a", "b")
+
+
+@q(
+    "lsh_candidate_pairs_b2r4",
+    _lsh_oracle_sql(rows_per_band=4),
+    doc="MinHash-LSH at bands=2/rows_per_band=4: proves the ordered band "
+    "signature stays injective when the recall knob is turned (the previous "
+    "sum/min/max signature collision-merged buckets here)",
+)
+def lsh_candidate_pairs_b2r4(spark, sf_dir):
+    mh = dedup.minhash_table(t(spark, sf_dir, "documents"), "doc_id", "text", n_hashes=8, ngram=8)
+    return dedup.lsh_candidate_pairs(mh, bands=2, rows_per_band=4).orderBy("a", "b")
 
 
 _MAX_SHINGLE_DF = 50  # drop stopword-like mega-shingles: bounds join fan-out

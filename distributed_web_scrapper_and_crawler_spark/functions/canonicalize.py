@@ -88,15 +88,18 @@ def canonicalize_udf(parity: bool = True):
     return _canon
 
 
-def allowed_domain_filter(host_col, allowed_domains: tuple[str, ...]):
+def allowed_domain_filter(host_col, allowed_domains: tuple[str, ...], parity: bool = True):
     """Column predicate: reference's substring-on-netloc allow filter.
 
     ``any(domain in parsed.netloc for domain in allowed_domains)``
     (distributed_crawler.py:67-73) — deliberately substring, not suffix,
-    and CASE-SENSITIVE on the domain string exactly like the reference,
-    for parity. Pure Catalyst (no UDF): OR of ``contains``.
+    and in parity mode CASE-SENSITIVE on the domain string exactly like
+    the reference. In production mode hosts are lowercased by
+    canonicalization, so the configured domains are lowercased too —
+    otherwise a mixed-case entry silently matches nothing. Pure Catalyst
+    (no UDF): OR of ``contains``.
     """
     pred = F.lit(False)
     for d in allowed_domains:
-        pred = pred | host_col.contains(d)
+        pred = pred | host_col.contains(d if parity else d.lower())
     return pred

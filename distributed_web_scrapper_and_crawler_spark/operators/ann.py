@@ -146,26 +146,42 @@ def ivf_topk(
     centroid_stride: int = 64,
     n_probe: int = 2,
     round_to: int = 4,
+    centroids: DataFrame | None = None,
+    max_centroids: int = 4096,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the coarse-quantizer scale
     path alongside lsh_ann_topk.
 
-    Centroids are the embeddings whose id is a multiple of
+    By default centroids are the embeddings whose id is a multiple of
     ``centroid_stride`` (a deterministic quantizer both engines can
     reproduce — a trained k-means would be model state with the same
-    shape). Centroids are MODEL PARAMETERS: k rows x dim floats,
+    shape); pass ``centroids`` (a (cid, cv) DataFrame) to plug a trained
+    quantizer in. Centroids are MODEL PARAMETERS: k rows x dim floats,
     collected once and inlined as Catalyst literals, so corpus-side
     bucket assignment (argmax centroid cosine, ties to the lowest cid)
     is a pure whole-stage-codegen projection — no join, no shuffle of
     the 10^10 side. Queries probe their ``n_probe`` nearest centroid
     lists; candidates = one bucket equi-join.
+
+    The collect is MODEL-sized, never corpus-sized: ``max_centroids``
+    hard-caps it. count/stride at a 10^10-row corpus would otherwise be
+    ~10^8 driver rows — the cap raises instead of OOMing the driver; fix
+    by raising ``centroid_stride`` or passing a trained ``centroids``
+    table (itself subject to the same cap).
     """
-    cents = (
-        emb.filter((F.col(id_col) % centroid_stride) == 0)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-        .orderBy("cid")
-        .collect()
-    )
+    if centroids is None:
+        centroids = emb.filter((F.col(id_col) % centroid_stride) == 0).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+        )
+    # limit(cap+1): detects overflow without a corpus-sized collect OR a
+    # separate count job
+    cents = centroids.orderBy("cid").limit(max_centroids + 1).collect()
+    if len(cents) > max_centroids:
+        raise ValueError(
+            f"ivf_topk: > {max_centroids} centroids (stride {centroid_stride} is too dense "
+            f"for this corpus) — raise centroid_stride or pass a trained `centroids` table; "
+            f"centroids are driver-inlined model parameters and must stay model-sized"
+        )
     csigs = [(int(r["cid"]), [float(x) for x in r["cv"]]) for r in cents]
 
     def scores(vc: str) -> F.Column:

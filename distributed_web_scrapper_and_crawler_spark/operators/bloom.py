@@ -193,22 +193,42 @@ def filter_maybe_contains_udf(spark, filt):
     return _maybe
 
 
-def sharded_probe_maybe(spark, sb: "ShardedBloom", df: DataFrame, hash_col: str = "url_hash") -> DataFrame:
+def sharded_probe_maybe(
+    spark,
+    sb: "ShardedBloom",
+    df: DataFrame,
+    hash_col: str = "url_hash",
+    out_broadcasts: list | None = None,
+    n_partitions: int | None = None,
+) -> DataFrame:
     """Shard-LOCAL membership probe — the 10^10 read path.
 
     Each shard's bitmap ships as its OWN broadcast; PySpark broadcasts
     fetch lazily on first ``.value`` access, so a task pulls only the
     shards whose keys land in its partition. The input is repartitioned
-    by ``pmod(hash, n_shards)`` first, so a task sees ~1 shard — at
-    10^10 keys that is ~tens of MB of bits per task instead of the
-    impossible 12 GB all-shards broadcast. Returns ``df`` plus a
-    ``_maybe`` boolean column. Cost: one extra (round-delta-sized)
-    shuffle, traded for O(total-bits / n_shards) memory per task.
+    by ``pmod(hash, m)`` where m is a MULTIPLE of n_shards (default: the
+    session's shuffle partitions rounded up) — n_shards | m guarantees
+    each pmod-group still addresses exactly one shard, so parallelism is
+    not capped at n_shards while tasks keep seeing ~1 shard. At 10^10
+    keys that is ~tens of MB of bits per task instead of the impossible
+    12 GB all-shards broadcast. Returns ``df`` plus a ``_maybe`` boolean
+    column. Cost: one extra (round-delta-sized) shuffle, traded for
+    O(total-bits / n_shards) memory per task.
+
+    The per-round broadcasts are appended to ``out_broadcasts`` when
+    given — the caller MUST unpersist them once the probe's consumers
+    are materialized, or a long crawl accumulates one bitmap set per
+    round on the driver and executors.
     """
     import pyspark.sql.types as T
 
     bcs = [spark.sparkContext.broadcast(sh.to_bytes()) for sh in sb.shards]
+    if out_broadcasts is not None:
+        out_broadcasts.extend(bcs)
     n_bits, k, n_shards = sb.shards[0].n_bits, sb.shards[0].k, sb.n_shards
+    if n_partitions is None:
+        base = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        n_partitions = max(n_shards, ((base + n_shards - 1) // n_shards) * n_shards)
 
     def per_partition(it):
         loaded: dict[int, NumpyBloom] = {}
@@ -228,7 +248,7 @@ def sharded_probe_maybe(spark, sb: "ShardedBloom", df: DataFrame, hash_col: str 
             yield pdf
 
     out_schema = T.StructType(df.schema.fields + [T.StructField("_maybe", T.BooleanType())])
-    part = df.repartition(n_shards, F.pmod(F.col(hash_col), F.lit(n_shards)))
+    part = df.repartition(n_partitions, F.pmod(F.col(hash_col), F.lit(n_partitions)))
     return part.mapInPandas(per_partition, out_schema)
 
 

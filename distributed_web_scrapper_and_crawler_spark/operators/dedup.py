@@ -143,17 +143,19 @@ def lsh_candidate_pairs(minhash: DataFrame, bands: int = 4, rows_per_band: int =
     self-join on (band, signature), distinct (a < b) pairs. The bucket
     join replaces the cross join — the scale move.
     """
-    # collect_list order is nondeterministic => build the signature with
-    # order-insensitive combiners (sum/min/max) over the band's hashes
+    # collect_list order is nondeterministic => canonicalize by sorting the
+    # band's (h, minhash) pairs before concatenating. h is unique within a
+    # band, so the signature is injective over the band's hash VECTOR at any
+    # rows_per_band (the earlier sum/min/max combiner was only injective at
+    # rows_per_band=2 and silently collision-merged buckets beyond it).
     banded = (
         minhash.withColumn("band", F.floor(F.col("h") / rows_per_band).cast("int"))
         .groupBy("id", "band")
-        .agg(
-            F.sum("minhash").alias("_s"),
-            F.min("minhash").alias("_m"),
-            F.max("minhash").alias("_x"),
+        .agg(F.sort_array(F.collect_list(F.struct("h", "minhash"))).alias("_hs"))
+        .withColumn(
+            "sig",
+            F.concat_ws(":", F.transform("_hs", lambda s: s["minhash"].cast("string"))),
         )
-        .withColumn("sig", F.concat_ws(":", "_s", "_m", "_x"))
         .select("id", "band", "sig")
         # both self-join sides read this; materialize once (same
         # no-exchange-reuse rationale as ngram_jaccard_pairs)

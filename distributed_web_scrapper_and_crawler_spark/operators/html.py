@@ -47,21 +47,24 @@ _VOID_TAGS = {"img", "br", "hr", "meta", "link", "input", "area", "base", "col",
 
 
 class _El:
-    __slots__ = ("tag", "attrs", "classes", "children", "texts", "parent", "nth")
+    __slots__ = ("tag", "attrs", "classes", "children", "nodes", "parent", "nth")
 
     def __init__(self, tag: str, attrs: dict, parent: "_El | None"):
         self.tag = tag
         self.attrs = attrs
         self.classes = set((attrs.get("class") or "").split())
-        self.children: list[_El] = []
-        self.texts: list[str] = []  # direct text nodes
+        self.children: list[_El] = []  # element children only
+        # document-order child nodes: str (text node) or _El — get_text must
+        # interleave text with inline children (<h1>A <i>B</i> C</h1> -> "A B C"),
+        # matching BeautifulSoup get_text() (remote_worker.py:191)
+        self.nodes: list = []
         self.parent = parent
         self.nth = 0  # 1-based index among parent's ELEMENT children
 
     def get_text(self) -> str:
-        out: list[str] = list(self.texts)
-        for c in self.children:
-            out.append(c.get_text())
+        out: list[str] = []
+        for n in self.nodes:
+            out.append(n if isinstance(n, str) else n.get_text())
         return "".join(out)
 
     def iter(self):
@@ -80,6 +83,7 @@ class _TreeBuilder(HTMLParser):
         parent = self.stack[-1]
         el = _El(tag, dict(attrs), parent)
         parent.children.append(el)
+        parent.nodes.append(el)
         el.nth = len(parent.children)
         if tag not in _VOID_TAGS:
             self.stack.append(el)
@@ -97,7 +101,7 @@ class _TreeBuilder(HTMLParser):
                 break
 
     def handle_data(self, data):
-        self.stack[-1].texts.append(data)
+        self.stack[-1].nodes.append(data)
 
 
 def parse_html(html: str) -> _El:

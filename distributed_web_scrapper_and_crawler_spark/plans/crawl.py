@@ -48,11 +48,20 @@ class CrawlEngine:
     # round's done/seen/pages/enqueued rows are ever dropped from the store
     _buffered_deltas: dict = field(default_factory=dict)
 
+    @staticmethod
+    def _release(c) -> None:
+        # cached DataFrames unpersist; per-round shard Broadcasts destroy
+        # (unpersist alone keeps the driver-side pickled bitmaps alive)
+        if hasattr(c, "destroy"):
+            c.destroy()
+        else:
+            c.unpersist()
+
     def flush_caches(self) -> None:
         """Release caches retained by lazy_output_tables (materialize the
         output tables first if you still need them cheaply)."""
         for c in self._retained_caches:
-            c.unpersist()
+            self._release(c)
         self._retained_caches.clear()
 
     def __post_init__(self):
@@ -92,7 +101,7 @@ class CrawlEngine:
         seeds = seeds.withColumn("_c", canon("raw_url")).select(
             "input_order", F.col("_c.url").alias("url"), F.col("_c.host").alias("host")
         )
-        seeds = seeds.filter(allowed_domain_filter(F.col("host"), self.cfg.allowed_domains))
+        seeds = seeds.filter(allowed_domain_filter(F.col("host"), self.cfg.allowed_domains, parity=self.cfg.parity_mode))
         w = Window.partitionBy("url").orderBy("input_order")
         seeds = seeds.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
         # bucketed dense rank, NOT a global single-partition window: bench
@@ -139,7 +148,7 @@ class CrawlEngine:
         seeds = (
             seeds.withColumn("_c", canon("raw_url"))
             .select("input_order", F.col("_c.url").alias("url"), F.col("_c.host").alias("host"))
-            .filter(allowed_domain_filter(F.col("host"), self.cfg.allowed_domains))
+            .filter(allowed_domain_filter(F.col("host"), self.cfg.allowed_domains, parity=self.cfg.parity_mode))
         )
         w = Window.partitionBy("url").orderBy("input_order")
         seeds = seeds.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
@@ -400,7 +409,7 @@ class CrawlEngine:
             self._retained_caches.extend(res.caches)  # lazy deltas still need them
         else:
             for c in res.caches:
-                c.unpersist()
+                self._release(c)
 
     # -- observability ----------------------------------------------------
     def register_views(self, prefix: str = "crawl_") -> list[str]:

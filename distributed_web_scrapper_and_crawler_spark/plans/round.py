@@ -79,6 +79,7 @@ def run_round(
     rnd = state.round + 1
     t0 = time.monotonic()
 
+    round_broadcasts: list = []  # per-round shard broadcasts (released with caches)
     phase_t: dict[str, float] = {}
 
     def _mark(name: str, t_start: float) -> None:
@@ -144,7 +145,7 @@ def run_round(
     )
     # allow-filter on netloc substring — identical pre/post normalization
     # because normalize preserves netloc (distributed_crawler.py:67-78)
-    links = links.filter(allowed_domain_filter(F.col("host"), cfg.allowed_domains))
+    links = links.filter(allowed_domain_filter(F.col("host"), cfg.allowed_domains, parity=cfg.parity_mode))
     if cfg.enforce_max_depth:
         links = links.filter(F.col("depth") <= cfg.max_depth)
     if cfg.enforce_robots and robots is not None:
@@ -196,8 +197,13 @@ def run_round(
         )
 
         if isinstance(bloom, ShardedBloom):
-            # shard-local probe: tasks fetch only their shard's bits
-            flagged = sharded_probe_maybe(spark, bloom, unique_links, "url_hash")
+            # shard-local probe: tasks fetch only their shard's bits; the
+            # per-round shard broadcasts ride the round's cache lifecycle
+            # (destroyed once the round's state is materialized) so a long
+            # crawl doesn't accumulate one bitmap set per round
+            flagged = sharded_probe_maybe(
+                spark, bloom, unique_links, "url_hash", out_broadcasts=round_broadcasts
+            )
         else:
             maybe = filter_maybe_contains_udf(spark, bloom)
             flagged = unique_links.withColumn("_maybe", maybe("url_hash"))
@@ -298,4 +304,10 @@ def run_round(
         "pages": pages_delta,
         "metrics": metrics_delta,
     }
-    return RoundResult(new_state, deltas, stats, drained=False, caches=(claim, fetched, unique_links, candidates))
+    return RoundResult(
+        new_state,
+        deltas,
+        stats,
+        drained=False,
+        caches=(claim, fetched, unique_links, candidates, *round_broadcasts),
+    )

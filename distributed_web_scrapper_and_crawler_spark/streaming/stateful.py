@@ -47,31 +47,62 @@ def dedup_url_stream(
     degraded filter must never drop URLs silently... but here without a
     ground-truth table the cap is a hard bound, so size it for the
     host's expected URL count).
+
+    **State growth / rewrite cost (size this before deploying).** The
+    per-host blob is a sorted int64 array, REWRITTEN in full on every
+    micro-batch that touches the host: bytes written per batch ≈
+    ``8 × |seen(host)| × hosts_active_in_batch``. At the cap that is
+    8 MB per hot host per batch — acceptable on the RocksDB state store
+    (changelog checkpointing ships only the updated key), heavy on the
+    default HDFS-backed store (full snapshot per checkpoint). Deploys
+    that expect hosts near the cap should (a) enable the RocksDB state
+    store provider, (b) lower ``max_hashes_per_host`` and rely on the
+    batch engine's ground-truth anti-join for the overflow mass, or
+    (c) shard hot hosts into sub-keys (host, url_hash % k) upstream —
+    the same salting move the batch politeness scheduler uses. A
+    delta-encoded blob would cut write amplification but not peak state
+    size, which is why the cap (not encoding) is the primary control.
     """
 
     def admit(key, pdf_iter, state: GroupState):
         if state.exists:
             (blob,) = state.get
-            seen = set(np.frombuffer(blob, dtype=np.int64).tolist())
+            arr = np.frombuffer(blob, dtype=np.int64)  # sorted
         else:
-            seen = set()
-        overflow = len(seen) >= max_hashes_per_host
+            arr = np.empty(0, dtype=np.int64)
+        added: list[np.ndarray] = []
+        n_seen = int(arr.size)
+
+        def in_recorded(h: np.ndarray) -> np.ndarray:
+            hit = np.zeros(h.size, dtype=bool)
+            if arr.size:
+                idx = np.searchsorted(arr, h)
+                ok = idx < arr.size
+                hit[ok] = arr[idx[ok]] == h[ok]
+            for a in added:
+                hit |= np.isin(h, a)
+            return hit
+
         for pdf in pdf_iter:
-            mask = []
-            for h in pdf["url_hash"]:
-                h = int(h)
-                if h in seen:
-                    mask.append(False)
-                elif overflow:
-                    mask.append(True)  # fail-open past the cap
-                else:
-                    seen.add(h)
-                    overflow = len(seen) >= max_hashes_per_host
-                    mask.append(True)
+            h = pdf["url_hash"].to_numpy(dtype=np.int64)
+            known = in_recorded(h)
+            first_occ = ~pd.Series(h).duplicated().to_numpy()
+            # record the first (cap - seen) distinct new hashes, in
+            # first-occurrence order; everything past the cap fails OPEN
+            # (admitted but unrecorded, so later duplicates also pass)
+            new_u = pd.unique(h[~known])
+            capacity = max(0, max_hashes_per_host - n_seen)
+            rec = np.asarray(new_u[:capacity], dtype=np.int64)
+            if rec.size:
+                added.append(rec)
+                n_seen += int(rec.size)
+            mask = ~known & (first_occ | ~np.isin(h, rec))
             kept = pdf[pd.Series(mask, index=pdf.index)]
             if len(kept):
                 yield kept[["host", "url", "url_hash"]]
-        state.update((np.array(sorted(seen), dtype=np.int64).tobytes(),))
+        if added:
+            arr = np.union1d(arr, np.concatenate(added))
+        state.update((arr.tobytes(),))
 
     return urls.groupBy("host").applyInPandasWithState(
         admit,

@@ -91,3 +91,9 @@ def test_allow_filter_case_sensitive_parity(spark):
     )
     kept2 = prod.filter(allowed_domain_filter(F.col("host"), ("books.toscrape.com",))).count()
     assert kept2 == 2
+    # production mode also lowercases the configured DOMAIN — a mixed-case
+    # config entry must still match the lowercased hosts (ADVICE r2)
+    kept3 = prod.filter(
+        allowed_domain_filter(F.col("host"), ("Books.ToScrape.COM",), parity=False)
+    ).count()
+    assert kept3 == 2

@@ -58,6 +58,40 @@ def test_cosine_topk_exact_neighbors(spark):
     assert got == [(3, 1), (1, 2)]  # 3 is closest to 0, then 1
 
 
+def test_lsh_band_signature_injective_at_r4(spark):
+    """rows_per_band=4: two docs whose band hash VECTORS differ but whose
+    (sum, min, max) aggregates collide must NOT become candidates — the
+    exact collision the retired order-insensitive signature produced."""
+    # same sum (120), min (10), max (50); different vectors
+    mh = spark.createDataFrame(
+        [(1, 0, 10), (1, 1, 30), (1, 2, 30), (1, 3, 50),
+         (2, 0, 10), (2, 1, 20), (2, 2, 40), (2, 3, 50)],
+        "id long, h int, minhash long",
+    )
+    cands = {(r["a"], r["b"]) for r in dedup.lsh_candidate_pairs(mh, bands=1, rows_per_band=4).collect()}
+    assert (1, 2) not in cands
+    # identical vectors still collide (sanity)
+    mh2 = spark.createDataFrame(
+        [(1, 0, 10), (1, 1, 30), (2, 0, 10), (2, 1, 30)], "id long, h int, minhash long"
+    )
+    assert {(1, 2)} == {
+        (r["a"], r["b"]) for r in dedup.lsh_candidate_pairs(mh2, bands=1, rows_per_band=2).collect()
+    }
+
+
+def test_ivf_centroid_cap_raises(spark):
+    import pytest
+
+    rows = [(i, [float(i), 1.0]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") < 2)
+    with pytest.raises(ValueError, match="centroids"):
+        ann.ivf_topk(emb, q, k=2, centroid_stride=1, max_centroids=8)
+    # a sane stride still works
+    res = ann.ivf_topk(emb, q, k=2, centroid_stride=8, max_centroids=8)
+    assert res.count() > 0
+
+
 def test_lsh_ann_subset_of_bruteforce_universe(spark):
     import numpy as np
 

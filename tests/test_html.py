@@ -73,6 +73,22 @@ def test_selector_engine_details():
     assert select_one(root, ".product_main .does-not-exist") is None
 
 
+def test_get_text_document_order():
+    """Mixed content: text interleaved with inline children must come out
+    in document order — <h1>A <i>Light</i> here</h1> -> 'A Light here'
+    (BeautifulSoup get_text semantics, remote_worker.py:191)."""
+    root = parse_html(
+        '<div class="product_main"><h1>A <i>Light</i> in the <b>Attic</b>!</h1></div>'
+    )
+    el = select_one(root, ".product_main h1")
+    assert el is not None and el.get_text() == "A Light in the Attic!"
+    # field extraction path sees the same ordered text
+    spans = html_doc_to_spans(
+        '<div class="product_main"><h1>A <i>Light</i> in the <b>Attic</b></h1></div>'
+    )
+    assert ("text", "title=A Light in the Attic") in [(s["kind"], s["text"]) for s in spans]
+
+
 def test_malformed_html_no_crash():
     spans = html_doc_to_spans("<div class=product_pod><h3><a href='x.html'>t</div></p></body>")
     assert ("link_book", "x.html") in [(s["kind"], s["text"]) for s in spans]

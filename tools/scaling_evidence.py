@@ -93,10 +93,10 @@ def main() -> None:
     # N=2 vs 4N=8, pinned (the single protocol — see module docstring)
     lo, hi = 2, 8
     n_runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))
-    r8 = run_level_best_of(lo, n_docs, n_runs)
-    r32 = run_level_best_of(hi, n_docs, n_runs)
-    t8, t32 = r8["urls_per_sec"], r32["urls_per_sec"]
-    eff = (t32 / t8) / (hi // lo)
+    r_lo = run_level_best_of(lo, n_docs, n_runs)
+    r_hi = run_level_best_of(hi, n_docs, n_runs)
+    t_lo, t_hi = r_lo["urls_per_sec"], r_hi["urls_per_sec"]
+    eff = (t_hi / t_lo) / (hi // lo)
     body = f"""# BENCH — crawl throughput + scaling evidence
 
 North-rule metric: URLs scheduled+deduped per second (claim batch +
@@ -128,8 +128,8 @@ per-run steal ticks are recorded.
 
 | parallelism | rounds | URLs claimed | links deduped | wall (s) | URLs/s | steal ticks during run |
 |---|---|---|---|---|---|---|
-| local[{lo}] | {r8["rounds"]} | {r8["urls_claimed"]} | {r8["links_deduped"]} | {r8["wall_sec"]} | {t8} | {r8["steal_ticks"]} |
-| local[{hi}] | {r32["rounds"]} | {r32["urls_claimed"]} | {r32["links_deduped"]} | {r32["wall_sec"]} | {t32} | {r32["steal_ticks"]} |
+| local[{lo}] | {r_lo["rounds"]} | {r_lo["urls_claimed"]} | {r_lo["links_deduped"]} | {r_lo["wall_sec"]} | {t_lo} | {r_lo["steal_ticks"]} |
+| local[{hi}] | {r_hi["rounds"]} | {r_hi["urls_claimed"]} | {r_hi["links_deduped"]} | {r_hi["wall_sec"]} | {t_hi} | {r_hi["steal_ticks"]} |
 
 **Scaling efficiency (T{hi} / T{lo}) / {hi // lo} = {eff:.3f}** (target >= 0.8)
 
@@ -151,7 +151,7 @@ structures that must NOT be O(frontier) are:
 """
     with open(out_md, "w") as f:
         f.write(body)
-    print(json.dumps({"t8": t8, "t32": t32, "efficiency": round(eff, 3)}))
+    print(json.dumps({"t_lo": t_lo, "t_hi": t_hi, "efficiency": round(eff, 3)}))
 
 
 if __name__ == "__main__":
