@@ -110,9 +110,11 @@ def bench_crawl(spark, n_docs: int, rounds: int = 4, seed_frac: float = 0.3) -> 
 
     corpus, spec = _bench_corpus(spark, n_docs)
     # parquet splits would cache the corpus as ~5 fat partitions, capping
-    # the broadcast-join + extraction stages at 5 tasks; repartition once
-    # (fixed count — identical across scaling levels)
-    corpus = corpus.repartition(64).cache()
+    # the fetch-join + extraction stages at 5 tasks; repartition once on
+    # the JOIN KEY (fixed count — identical across scaling levels) so the
+    # copartitioned fetch join reads the cache in place and only the claim
+    # side shuffles each round
+    corpus = corpus.repartition(64, "doc_id").cache()
     corpus.count()
     # AQE's per-job re-optimization is measurable serial driver time on
     # the hand-sized round plans (see PLANS.md ledger); analytics queries
@@ -124,6 +126,13 @@ def bench_crawl(spark, n_docs: int, rounds: int = 4, seed_frac: float = 0.3) -> 
         use_bloom=True,
         allowed_domains=("example.test",),
         lazy_output_tables=True,
+        # claim-side-only shuffle into the corpus's cached partitioning:
+        # kills the per-round driver-side broadcast collect+build (serial
+        # at every parallelism level — scaling-efficiency tax)
+        fetch_join="copartition",
+        # the per-round fetched-row count job is serial overhead the north
+        # metric doesn't need (links_found still collected)
+        collect_fetch_stats=False,
         # hot-host salting (north-rule skew handling): host 0 carries 30%
         # of the frontier; unsalted, its claim window sorts on ONE core
         # and flat-lines the scaling ratio (PLANS.md ledger)
@@ -144,6 +153,13 @@ def bench_crawl(spark, n_docs: int, rounds: int = 4, seed_frac: float = 0.3) -> 
     claimed = sum(s["urls_claimed"] for s in eng.round_stats)
     links = sum(s["links_found"] for s in eng.round_stats)
     new = sum(s["links_new"] for s in eng.round_stats)
+    # per-phase totals across rounds (claim / links / dedup_seq / bloom_add /
+    # fetched_count / materialize) — the scaling harness records these per
+    # level so a sub-0.8 efficiency can be attributed to its serial term
+    phases: dict[str, float] = {}
+    for s in eng.round_stats:
+        for k, v in s.get("phases", {}).items():
+            phases[k] = round(phases.get(k, 0.0) + v, 3)
     return {
         "rounds": len(eng.round_stats),
         "n_seeds": len(seeds),
@@ -153,6 +169,7 @@ def bench_crawl(spark, n_docs: int, rounds: int = 4, seed_frac: float = 0.3) -> 
         "wall_sec": round(wall, 2),
         "urls_per_sec": round((claimed + links) / wall, 1),
         "scheduled_per_sec": round(claimed / wall, 1),
+        "phases": phases,
     }
 
 

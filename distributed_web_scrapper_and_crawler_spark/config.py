@@ -88,9 +88,21 @@ class CrawlConfig:
     # extra Spark jobs per round; benchmarks turn it off (claim count and
     # new-link count are structural — always collected).
     collect_stats: bool = True
+    # The per-round fetched-row count is its own (cheap but serial) Spark
+    # job; benchmarks turn it off independently of collect_stats because
+    # the north metric needs links_found but not urls_fetched.
+    collect_fetch_stats: bool = True
     # Broadcast the (budget-bounded) claim batch into the fetch join so the
     # corpus side never shuffles; disable for unbounded claim batches.
     broadcast_fetch: bool = True
+    # Fetch-join strategy override: None derives from broadcast_fetch
+    # ("broadcast" / "shuffle"). "copartition" shuffles ONLY the claim side
+    # into the corpus's existing hash partitioning (corpus must be cached
+    # pre-partitioned on its doc_id/url key) with a per-partition hash
+    # build — no driver-side broadcast collect+build (that build is serial
+    # time every round, identical at every cluster size), and no bound on
+    # claim size. The bucket-join analog for an Iceberg corpus.
+    fetch_join: str | None = None
     # Keep the write-only output tables (done/seen/pages/metrics) as lazy
     # unions over retained round caches instead of checkpointing them every
     # round. Each skipped checkpoint is a serial driver job; benchmarks

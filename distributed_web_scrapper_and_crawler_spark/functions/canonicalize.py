@@ -17,7 +17,7 @@ The Spark-facing surface is a single pandas UDF returning a struct
 
 from __future__ import annotations
 
-from urllib.parse import parse_qsl, urlencode, urlsplit
+from urllib.parse import parse_qsl, urlencode, urljoin, urlsplit
 
 import pandas as pd
 from pyspark.sql import functions as F
@@ -84,6 +84,98 @@ def canonicalize_udf(parity: bool = True):
             out_path.append(s.path or "/")
             out_url.append(canon(u) if u is not None else None)
         return pd.DataFrame({"url": out_url, "host": out_host, "path": out_path})
+
+    return _canon
+
+
+def _canon_links_pd(base: pd.Series, href: pd.Series, parity: bool) -> pd.DataFrame:
+    """Vectorized absolutize + canonicalize for a FLAT (base, href) batch —
+    the crawl's hottest loop (every discovered link crosses it).
+
+    Fast paths are pure pandas string kernels; any row outside them
+    (foreign scheme, ``..``/``./`` traversal, protocol-relative ``//``,
+    mixed-case scheme, production-mode query strings that need param
+    sorting) falls back to the per-row stdlib path, byte-identical to
+    ``urljoin`` + ``normalize_url_py``/``canonicalize_url_py``. Parity is
+    pinned by tests/test_extract.py's cross-implementation sweep.
+    """
+    href = href.fillna("")
+    base = base.fillna("")
+    n = len(href)
+    is_abs = href.str.startswith(("http://", "https://"))
+    rel = ~is_abs
+
+    absu = pd.Series([None] * n, index=href.index, dtype=object)
+    absu[is_abs] = href[is_abs]
+    if rel.any():
+        h_rel = href[rel]
+        # simple relative: non-empty, no scheme, not protocol-relative, no
+        # dot segments, no query/fragment of its own
+        simple = (h_rel != "") & ~h_rel.str.contains(
+            r"^[A-Za-z][A-Za-z0-9+.-]*:|\.\.|\./|^//|[?#]", regex=True
+        )
+        bm = base[rel].str.extract(r"^(https?://[^/?#]*)(/[^?#]*)")
+        origin, bpath = bm[0], bm[1]
+        rooted = h_rel.str.startswith("/")
+        root_rel = simple & rooted & origin.notna()
+        absu.loc[root_rel[root_rel].index] = origin[root_rel] + h_rel[root_rel]
+        plain_rel = simple & ~rooted & bpath.notna()
+        if plain_rel.any():
+            idx = plain_rel[plain_rel].index
+            bdir = bpath[plain_rel].str.replace(r"/[^/]*$", "/", regex=True)
+            absu.loc[idx] = origin[plain_rel] + bdir + h_rel[plain_rel]
+    rest = absu.isna()
+    if rest.any():
+        absu[rest] = [urljoin(b, h) for b, h in zip(base[rest], href[rest])]
+
+    # canonicalize: vector path only for well-formed lowercase http(s);
+    # ONE extract yields scheme/netloc/path/has-query for every branch
+    am = absu.str.extract(r"^(https?)://([^/?#]*)([^?#]*)(\?)?")
+    scheme, netloc, path = am[0], am[1], am[2]
+    vec = scheme.notna()
+    url = pd.Series([None] * n, index=href.index, dtype=object)
+    if parity:
+        # normalize_url_py == f"{scheme}://{netloc}{path}" (drops query+frag)
+        url[vec] = scheme[vec] + "://" + netloc[vec] + path[vec]
+        host = netloc.copy()
+        slow = ~vec
+        if slow.any():
+            url[slow] = [normalize_url_py(u) for u in absu[slow]]
+            host[slow] = [urlsplit(u).netloc for u in absu[slow]]
+    else:
+        nl = netloc.str.lower()
+        # query rows need param sorting => per-row slow path
+        vecp = vec & am[3].isna()
+        nls = nl.copy()
+        m80 = vecp & (scheme == "http") & nl.str.endswith(":80")
+        if m80.any():
+            nls[m80] = nl[m80].str[:-3]
+        m443 = vecp & (scheme == "https") & nl.str.endswith(":443")
+        if m443.any():
+            nls[m443] = nl[m443].str[:-4]
+        p = path.where(path != "", "/")
+        url[vecp] = scheme[vecp] + "://" + nls[vecp] + p[vecp]
+        host = nl.copy()
+        slow = ~vecp
+        if slow.any():
+            url[slow] = [canonicalize_url_py(u) for u in absu[slow]]
+            host[slow] = [urlsplit(u).netloc.lower() for u in absu[slow]]
+    out_path = path.where(path != "", "/")
+    pslow = ~vec
+    if pslow.any():
+        out_path[pslow] = [urlsplit(u).path or "/" for u in absu[pslow]]
+    return pd.DataFrame({"url": url, "host": host, "path": out_path})
+
+
+def canon_links_flat_udf(parity: bool = True):
+    """pandas UDF (base, href) -> struct(url, host, path) over FLAT string
+    columns — the vectorized hot path used by plans/round.py after a
+    JVM-side posexplode (sort/pos/depth stay in codegen; only two string
+    columns cross Arrow)."""
+
+    @F.pandas_udf(_CANON_SCHEMA)
+    def _canon(base: pd.Series, href: pd.Series) -> pd.DataFrame:
+        return _canon_links_pd(base, href, parity)
 
     return _canon
 

@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from distributed_web_scrapper_and_crawler_spark.config import CrawlConfig
 from distributed_web_scrapper_and_crawler_spark.functions.canonicalize import (
     allowed_domain_filter,
+    canon_links_flat_udf,
 )
 from distributed_web_scrapper_and_crawler_spark.operators.bloom import (
     NumpyBloom,
@@ -48,7 +49,6 @@ from distributed_web_scrapper_and_crawler_spark.operators.bloom import (
 )
 from distributed_web_scrapper_and_crawler_spark.operators.extract import (
     extract_fields_udf,
-    extract_links_canon_udf,
     spans_sorted,
 )
 from distributed_web_scrapper_and_crawler_spark.plans.politeness import apply_robots, claim_batch
@@ -107,9 +107,26 @@ def run_round(
     # equivalent is a bucket join on the Iceberg corpus; flag off for
     # unbounded claim batches.
     corpus_keyed = corpus.withColumnRenamed("doc_id", "url")
-    claim_side = F.broadcast(claim) if cfg.broadcast_fetch else claim
-    fetched = claim_side.join(corpus_keyed, "url", "inner").cache()
-    failed = claim.join(fetched.select("url_hash", "url"), ["url_hash", "url"], "left_anti")
+    fetch_mode = cfg.fetch_join or ("broadcast" if cfg.broadcast_fetch else "shuffle")
+    if fetch_mode == "broadcast":
+        claim_side = F.broadcast(claim)
+    elif fetch_mode == "copartition":
+        # corpus is cached hash-partitioned on the key: only the ~budget-
+        # sized claim side shuffles, and each task builds a tiny hash table
+        # of its claim partition — removes the broadcast's driver-side
+        # collect+build (serial per round at any cluster size)
+        claim_side = claim.hint("shuffle_hash")
+    else:
+        claim_side = claim
+    # ONE left join yields both outcomes: matched rows are the fetch,
+    # null-extended rows are the failures — the separate claim ⋈ fetched
+    # anti-join used to cost a second join (and a second driver-side
+    # broadcast build) every round
+    joined = (
+        claim_side.join(corpus_keyed.withColumn("_hit", F.lit(True)), "url", "left").cache()
+    )
+    fetched = joined.filter(F.col("_hit").isNotNull()).drop("_hit")
+    failed = joined.filter(F.col("_hit").isNull()).select(*claim.columns)
 
     # -- pages: field extraction + ordered span sequence -------------------
     fields = extract_fields_udf(cfg.extraction_rules)
@@ -122,26 +139,44 @@ def run_round(
     ).select("_f.*", "url", "depth", "round", "spans")
 
     # -- link extraction (the table-generating function, SURVEY.md §2.3) --
-    # fused extract+urljoin+canonicalize UDF: one Arrow crossing over the
-    # round's biggest intermediate
-    # prune non-link spans JVM-side before the Arrow crossing: text/media
-    # spans are ~half the span mass and the link UDF ignores them — the
-    # filter runs in codegen and halves the per-round Python traffic.
-    # pos semantics are untouched (pos ranks link spans only, by offset).
-    link_spans = F.expr("filter(spans, s -> s.kind IN ('link_book', 'link_next', 'link_cat'))")
-    links = fetched.select(
-        F.col("seq").alias("parent_seq"),
-        F.col("depth").alias("parent_depth"),
-        F.explode(extract_links_canon_udf(parity=cfg.parity_mode)(F.col("url"), link_spans)).alias(
-            "_l"
-        ),
-    ).select(
-        "parent_seq",
-        (F.col("parent_depth") + F.col("_l.depth_delta")).cast("int").alias("depth"),
-        F.col("_l.pos").alias("pos"),
-        F.col("_l.url").alias("url"),
-        F.col("_l.host").alias("host"),
-        F.col("_l.path").alias("path"),
+    # JVM-side: prune non-link spans, sort by offset, posexplode — kind
+    # filter, pos rank and depth delta all stay in whole-stage codegen.
+    # Only TWO FLAT STRING COLUMNS (base url, href) cross Arrow into the
+    # vectorized canonicalize kernel — the old fused array<struct> UDF
+    # paid a per-doc struct->python-dict conversion plus per-link dict
+    # construction for the round's biggest intermediate (PLANS.md ledger).
+    # pos semantics unchanged: rank among link spans ordered by offset.
+    link_spans = F.expr(
+        "array_sort(filter(spans, s -> s.kind IN ('link_book', 'link_next', 'link_cat')),"
+        " (a, b) -> CASE WHEN a.offset < b.offset THEN -1 WHEN a.offset > b.offset THEN 1 ELSE 0 END)"
+    )
+    canon_flat = canon_links_flat_udf(parity=cfg.parity_mode)
+    links = (
+        fetched.select(
+            F.col("seq").alias("parent_seq"),
+            F.col("depth").alias("parent_depth"),
+            F.col("url").alias("_base"),
+            F.posexplode(link_spans).alias("pos", "_sp"),
+        )
+        .select(
+            "parent_seq",
+            (
+                F.col("parent_depth")
+                + F.when(F.col("_sp.kind") == "link_book", F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("int")
+            .alias("depth"),
+            F.col("pos").cast("int").alias("pos"),
+            canon_flat(F.col("_base"), F.col("_sp.text")).alias("_l"),
+        )
+        .select(
+            "parent_seq",
+            "depth",
+            "pos",
+            F.col("_l.url").alias("url"),
+            F.col("_l.host").alias("host"),
+            F.col("_l.path").alias("path"),
+        )
     )
     # allow-filter on netloc substring — identical pre/post normalization
     # because normalize preserves netloc (distributed_crawler.py:67-78)
@@ -261,7 +296,9 @@ def run_round(
 
     wall_ms = int((time.monotonic() - t0) * 1000)
     t = time.monotonic()
-    n_fetched = fetched.count() if cfg.collect_stats else -1
+    n_fetched = (
+        fetched.count() if (cfg.collect_stats and cfg.collect_fetch_stats) else -1
+    )
     _mark("fetched_count", t)
     stats = {
         "round": rnd,
@@ -275,7 +312,7 @@ def run_round(
     }
     # uncollected stats persist as NULLs, never sentinels — a downstream
     # sum()/avg() over the metrics table must skip them, not mis-sum -1s
-    _n_fetched = n_fetched if cfg.collect_stats else None
+    _n_fetched = n_fetched if (cfg.collect_stats and cfg.collect_fetch_stats) else None
     _n_links = n_links if cfg.collect_stats else None
     _dedup = (n_links - n_new) if cfg.collect_stats else None
     metric_rows = [(rnd, -1, n_claimed, _n_fetched, _n_links, n_new, _dedup, wall_ms)]
@@ -309,5 +346,5 @@ def run_round(
         deltas,
         stats,
         drained=False,
-        caches=(claim, fetched, unique_links, candidates, *round_broadcasts),
+        caches=(claim, joined, unique_links, candidates, *round_broadcasts),
     )

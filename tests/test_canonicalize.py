@@ -50,6 +50,64 @@ def test_normalize_idempotent_and_strips(url):
     assert "?" not in once and "#" not in once
 
 
+_HREF_CASES = [
+    "http://abs.example.test/x",
+    "https://abs2.test/y?b=2&a=1#f",
+    "/rooted/path",
+    "plain/rel.html",
+    "rel.html",
+    "../up/one.html",
+    "./same/dir.html",
+    "//proto.rel/test",
+    "",
+    "page-2.html",
+    "?only=query",
+    "#onlyfrag",
+    "mailto:x@y.z",
+    "x/y/z?q=1#m",
+    "/x?b=2&a=1",
+    "WeIrD/CaSe.HTML",
+    "a b/space.html",
+    "/page/17?b=1&a=2#frag",
+]
+
+_BASE_CASES = [
+    "http://h000.example.test/page/17",
+    "http://books.toscrape.com/catalogue/category/books/poetry_23/index.html",
+    "http://host.test/",
+    "http://host.test",
+    "HTTP://MiXeD.Case/Path",
+    "https://h.test:443/x",
+    "http://h.test:80/x?a=1",
+]
+
+
+def test_vectorized_canon_links_matches_stdlib():
+    """The flat vectorized kernel (crawl hot path, round.py link
+    extraction) must be byte-identical to urljoin + urlsplit +
+    normalize/canonicalize per row — including every fallback trigger
+    (dot segments, protocol-relative, foreign schemes, query strings,
+    mixed-case schemes, portful/pathless bases)."""
+    import pandas as pd
+    from urllib.parse import urljoin, urlsplit
+
+    from distributed_web_scrapper_and_crawler_spark.functions.canonicalize import (
+        _canon_links_pd,
+    )
+
+    rows = [(b, h) for b in _BASE_CASES for h in _HREF_CASES]
+    base = pd.Series([r[0] for r in rows])
+    href = pd.Series([r[1] for r in rows])
+    for parity, canon in ((True, normalize_url_py), (False, canonicalize_url_py)):
+        got = _canon_links_pd(base, href, parity)
+        for i, (b, h) in enumerate(rows):
+            absu = h if h.startswith(("http://", "https://")) else urljoin(b, h)
+            s = urlsplit(absu)
+            want = (canon(absu), s.netloc if parity else s.netloc.lower(), s.path or "/")
+            g = got.iloc[i]
+            assert (g["url"], g["host"], g["path"]) == want, (parity, b, h)
+
+
 def test_udf_matches_py(spark):
     from pyspark.sql import functions as F
 

@@ -102,6 +102,20 @@ def test_sharded_filter_full_parity(spark, small_corpus, seeds, oracle):
     assert {r["url"] for r in eng.state.seen.select("url").collect()} == oracle.seen
 
 
+def test_copartition_fetch_join_parity(spark, small_corpus, seeds, eng_full):
+    """fetch_join='copartition' (claim-side-only shuffle into the corpus's
+    cached hash partitioning — the broadcast-free bench/scale path) must
+    not change crawl semantics."""
+    keyed = small_corpus.repartition(4, "doc_id").cache()
+    keyed.count()
+    eng = _run_engine(spark, keyed, seeds, budget=64, fetch_join="copartition")
+    assert eng_full.claim_order() == eng.claim_order()
+    assert {r["url"] for r in eng.state.seen.select("url").collect()} == {
+        r["url"] for r in eng_full.state.seen.select("url").collect()
+    }
+    keyed.unpersist()
+
+
 def test_degraded_cuckoo_stays_correct(spark, small_corpus, seeds, eng_full):
     """A degraded cuckoo filter (overflow or delete => false negatives
     possible; the flag itself is unit-tested in test_bloom) must route

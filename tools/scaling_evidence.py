@@ -15,8 +15,14 @@ JVM service threads cannot distort a level (an 8-vs-32 pair would need
 every vCPU, stolen ones included).
 
 Each level runs in a fresh subprocess (a JVM can't change master
-mid-flight); identical Spark confs apart from local[N]. Results land in
-BENCH.md.
+mid-flight); identical Spark confs apart from local[N]. This VM takes
+bursty co-tenant CPU steal (multi-minute storms of 150-300 ticks/15s
+alternating with quiet spells of < 20), so each attempt first WAITS for
+a quiet window (steal < 60 ticks / 15 s) before launching, records the
+steal ticks taken DURING the run, and the per-level result is the best
+(highest-throughput) run — steal only ever slows a run. ALL runs are
+reported in BENCH.md so the distribution and its steal correlation are
+visible, per VERDICT r2 #1.
 
 Usage: python tools/scaling_evidence.py [n_docs] [out_md]
 """
@@ -27,8 +33,26 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _steal_ticks() -> int:
+    with open("/proc/stat") as f:
+        return int(f.readline().split()[8])
+
+
+def wait_for_quiet(threshold: int = 60, window_s: int = 15, max_wait_s: int = 900) -> int:
+    """Block until a window_s sample shows < threshold steal ticks (or the
+    wait budget runs out). Returns the last sampled tick count."""
+    t0 = time.monotonic()
+    while True:
+        s0 = _steal_ticks()
+        time.sleep(window_s)
+        r = _steal_ticks() - s0
+        if r < threshold or (time.monotonic() - t0) > max_wait_s:
+            return r
 
 
 def run_level(cpus: int, n_docs: int) -> dict:
@@ -62,29 +86,23 @@ def run_level(cpus: int, n_docs: int) -> dict:
     return json.loads(line)["crawl"]
 
 
-def _steal_ticks() -> int:
-    with open("/proc/stat") as f:
-        return int(f.readline().split()[8])
+def run_level_best_of(cpus: int, n_docs: int, n_runs: int) -> tuple[dict, list[dict]]:
+    """Best (highest-throughput) of n_runs quiet-gated fresh-JVM runs.
 
-
-def run_level_best_of(cpus: int, n_docs: int, n_runs: int) -> dict:
-    """Best (highest-throughput) of n_runs fresh-JVM runs.
-
-    This VM shows bursty CPU steal from co-tenants (historical steal mass
-    ~18% of user ticks in /proc/stat; measured run-to-run spread up to
-    30%). Best-of-N is the standard de-noising for shared machines: steal
-    only ever SLOWS a run, so the fastest run is the closest observation
-    of the machine's true capability at each level. Steal ticks during
-    each run are recorded alongside."""
+    Returns (best_run, all_runs); every run records its wall, throughput
+    and during-run steal ticks for the BENCH.md distribution table."""
+    runs: list[dict] = []
     best = None
     for i in range(n_runs):
+        wait_for_quiet()
         s0 = _steal_ticks()
         r = run_level(cpus, n_docs)
         r["steal_ticks"] = _steal_ticks() - s0
         r["run_idx"] = i
+        runs.append(r)
         if best is None or r["urls_per_sec"] > best["urls_per_sec"]:
             best = r
-    return best
+    return best, runs
 
 
 def main() -> None:
@@ -93,10 +111,21 @@ def main() -> None:
     # N=2 vs 4N=8, pinned (the single protocol — see module docstring)
     lo, hi = 2, 8
     n_runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))
-    r_lo = run_level_best_of(lo, n_docs, n_runs)
-    r_hi = run_level_best_of(hi, n_docs, n_runs)
+    r_lo, runs_lo = run_level_best_of(lo, n_docs, n_runs)
+    r_hi, runs_hi = run_level_best_of(hi, n_docs, n_runs)
     t_lo, t_hi = r_lo["urls_per_sec"], r_hi["urls_per_sec"]
     eff = (t_hi / t_lo) / (hi // lo)
+
+    def dist_rows(level: int, runs: list[dict]) -> str:
+        return "\n".join(
+            f"| local[{level}] | {r['run_idx']} | {r['wall_sec']} | {r['urls_per_sec']} "
+            f"| {r['steal_ticks']} |"
+            for r in runs
+        )
+
+    def phase_row(r: dict) -> str:
+        return ", ".join(f"{k} {v}" for k, v in r.get("phases", {}).items())
+
     body = f"""# BENCH — crawl throughput + scaling evidence
 
 North-rule metric: URLs scheduled+deduped per second (claim batch +
@@ -107,24 +136,30 @@ anti-joins, seq assignment, state materialization).
 Input: deterministic synthetic web, {n_docs} docs, 40 hosts, 16
 links/doc, hot-host share 0.3 (skewed); production mode (pre-seeded fat
 frontier = the large-frontier stand-in; 4 scheduling rounds; Bloom on;
-hot-host-salted claim; lazy output tables). Identical confs at both
-levels (Arrow on, UTC, shuffle partitions 32, AQE off for the crawl job
-per PLANS.md ledger); only `local[N]` differs. N={lo} vs 4N={hi}: the
-largest 4x pair whose upper level (8 pinned cpus) still leaves most of
-the 32-vCPU box free, so co-tenant steal bursts and JVM service threads
-(GC, netty, Python workers beyond the pinned set's budget) cannot
-distort either level — an 8-vs-32 pair would need every vCPU including
-the stolen ones (BASELINE.md protocol: "N and 4N cores"). Each level runs under `taskset -c 0-(N-1)` with JVM GC pools sized to N
-— `local[N]` alone caps only task slots, so Python UDF workers, GC and
-shuffle threads would otherwise spill onto the machine's other 30 idle
-cores and hand the LOW level free parallelism (measured: unpinned
-local[2] ran 24% faster than its pinned envelope on this box). Pinning gives
-each level exactly the resource envelope a real N-core executor gets.
-Each level is the best of {n_runs} fresh-JVM runs — this VM takes
-bursty CPU steal from co-tenants (historical steal ~18% of user ticks;
-measured 30% run-to-run spread), and steal only ever slows a run, so
-per-level best-of-N is the closest observation of true capability;
-per-run steal ticks are recorded.
+hot-host-salted claim; copartitioned fetch join; lazy output tables).
+Identical confs at both levels (Arrow on, UTC, shuffle partitions 32,
+AQE off for the crawl job per PLANS.md ledger); only `local[N]` differs.
+N={lo} vs 4N={hi}: the largest 4x pair whose upper level ({hi} pinned
+cpus) still leaves most of the 32-vCPU box free, so co-tenant steal
+bursts and JVM service threads (GC, netty, Python workers beyond the
+pinned set's budget) cannot distort either level — an 8-vs-32 pair
+would need every vCPU including the stolen ones (BASELINE.md protocol:
+"N and 4N cores"). Each level runs under `taskset -c 0-(N-1)` with JVM
+GC pools sized to N — `local[N]` alone caps only task slots, so Python
+UDF workers, GC and shuffle threads would otherwise spill onto the
+machine's other 30 idle cores and hand the LOW level free parallelism
+(measured: unpinned local[2] ran 24% faster than its pinned envelope on
+this box). Pinning gives each level exactly the resource envelope a
+real N-core executor gets.
+
+This VM takes bursty co-tenant CPU steal in multi-minute storms
+(150-300 steal ticks/15 s, against < 20 in quiet spells; run-to-run
+wall spread up to 2.3x observed on identical configs). Each attempt
+therefore waits for a quiet window (< 60 ticks/15 s) before launching,
+and the per-level number is the best of {n_runs} quiet-gated fresh-JVM
+runs — steal only ever slows a run, so the fastest run is the closest
+observation of true capability. The FULL run distribution with per-run
+steal ticks is below, so the steal correlation is inspectable.
 
 | parallelism | rounds | URLs claimed | links deduped | wall (s) | URLs/s | steal ticks during run |
 |---|---|---|---|---|---|---|
@@ -132,6 +167,17 @@ per-run steal ticks are recorded.
 | local[{hi}] | {r_hi["rounds"]} | {r_hi["urls_claimed"]} | {r_hi["links_deduped"]} | {r_hi["wall_sec"]} | {t_hi} | {r_hi["steal_ticks"]} |
 
 **Scaling efficiency (T{hi} / T{lo}) / {hi // lo} = {eff:.3f}** (target >= 0.8)
+
+## Run distribution (all runs, best per level selected)
+
+| parallelism | run | wall (s) | URLs/s | steal ticks during run |
+|---|---|---|---|---|
+{dist_rows(lo, runs_lo)}
+{dist_rows(hi, runs_hi)}
+
+Best-run phase breakdown (driver-timed, seconds summed over 4 rounds):
+- local[{lo}]: {phase_row(r_lo)}
+- local[{hi}]: {phase_row(r_hi)}
 
 ## 10^10 design-point extrapolation
 
@@ -147,11 +193,24 @@ structures that must NOT be O(frontier) are:
   (operators/bloom.py ShardedBloom); the ground-truth anti-join touches
   only the ~1% residue;
 - seq assignment: bucketed rank (plans/seq.py) — driver traffic is one
-  row per 4096-parent bucket, never per URL.
+  row per 4096-parent bucket, never per URL;
+- the fetch join: copartitioned (the claim shuffles into the corpus's
+  bucketing; the 100 TB side never moves, and no per-round driver-side
+  broadcast build happens at any cluster size).
 """
     with open(out_md, "w") as f:
         f.write(body)
-    print(json.dumps({"t_lo": t_lo, "t_hi": t_hi, "efficiency": round(eff, 3)}))
+    print(
+        json.dumps(
+            {
+                "t_lo": t_lo,
+                "t_hi": t_hi,
+                "efficiency": round(eff, 3),
+                "runs_lo": [(r["wall_sec"], r["steal_ticks"]) for r in runs_lo],
+                "runs_hi": [(r["wall_sec"], r["steal_ticks"]) for r in runs_hi],
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
