@@ -73,6 +73,42 @@ def test_fused_equals_unfused_plus_normalize(spark):
     assert fused[2]["path"] == "/cat/3"
 
 
+def test_flat_link_path_equals_fused(spark):
+    """The round plan's flat link path (JVM filter+array_sort+posexplode +
+    vectorized (base, href) canonicalize, plans/round.py) must emit exactly
+    what the fused array<struct> UDF emits — url, host, path, depth delta
+    and pos — in both modes."""
+    from distributed_web_scrapper_and_crawler_spark.functions.canonicalize import (
+        canon_links_flat_udf,
+    )
+
+    for parity in (True, False):
+        fused = (
+            _df(spark)
+            .select(
+                F.explode(extract_links_canon_udf(parity=parity)(F.col("doc_id"), F.col("spans"))).alias("l")
+            )
+            .select("l.url", "l.host", "l.path", "l.depth_delta", "l.pos")
+            .collect()
+        )
+        link_spans = F.expr(
+            "array_sort(filter(spans, s -> s.kind IN ('link_book', 'link_next', 'link_cat')),"
+            " (a, b) -> CASE WHEN a.offset < b.offset THEN -1 WHEN a.offset > b.offset THEN 1 ELSE 0 END)"
+        )
+        flat = (
+            _df(spark)
+            .select(F.col("doc_id").alias("_base"), F.posexplode(link_spans).alias("pos", "_sp"))
+            .select(
+                canon_links_flat_udf(parity=parity)(F.col("_base"), F.col("_sp.text")).alias("_l"),
+                F.when(F.col("_sp.kind") == "link_book", F.lit(1)).otherwise(F.lit(0)).alias("depth_delta"),
+                F.col("pos").cast("int").alias("pos"),
+            )
+            .select("_l.url", "_l.host", "_l.path", "depth_delta", "pos")
+            .collect()
+        )
+        assert [tuple(r) for r in flat] == [tuple(r) for r in fused], f"parity={parity}"
+
+
 def test_field_extraction_first_match_and_strip(spark):
     row = _df(spark).select(extract_fields_udf(DEFAULT_EXTRACTION_RULES)("spans").alias("f")).collect()[0]["f"]
     assert row["title"] == "The Book"
