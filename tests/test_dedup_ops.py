@@ -92,6 +92,36 @@ def test_ivf_centroid_cap_raises(spark):
     assert res.count() > 0
 
 
+def test_kmeans_refine_and_trained_ivf(spark):
+    """Lloyd refinement: centroids move to member means, empty clusters
+    keep the old centroid, and the trained codebook plugs into ivf_topk
+    via the centroids parameter."""
+    rows = (
+        # two tight clusters around (1,0) and (0,1); ids 0 and 64 are the
+        # stride-64 init centroids
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.95, 0.05])]
+        + [(64, [0.0, 1.0]), (65, [0.1, 0.9]), (66, [0.05, 0.95])]
+    )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = ann.kmeans_refine(emb, centroid_stride=64, iters=1, round_to=6)
+    got = dict(cents)
+    import numpy as np
+
+    np.testing.assert_allclose(got[0], np.mean([[1, 0], [0.9, 0.1], [0.95, 0.05]], axis=0), atol=1e-5)
+    np.testing.assert_allclose(got[64], np.mean([[0, 1], [0.1, 0.9], [0.05, 0.95]], axis=0), atol=1e-5)
+    # trained centroids drive ivf_topk
+    cdf = spark.createDataFrame([(c, v) for c, v in cents], "cid long, cv array<double>")
+    res = ann.ivf_topk(emb, emb.filter(F.col("vec_id") == 1), k=2, n_probe=1, centroids=cdf)
+    assert {r["neighbor_id"] for r in res.collect()} <= {0, 2, 64, 65, 66}
+    assert res.count() == 2
+    # empty cluster: a far-away init centroid that captures no member
+    # (duplicate of cid 0 at id 128 loses every tie to the lower cid)
+    rows2 = rows + [(128, [1.0, 0.0])]
+    emb2 = spark.createDataFrame(rows2, "vec_id long, embedding array<float>")
+    cents2 = dict(ann.kmeans_refine(emb2, centroid_stride=64, iters=1, round_to=6))
+    assert cents2[128] == [1.0, 0.0]  # kept its previous centroid
+
+
 def test_lsh_ann_subset_of_bruteforce_universe(spark):
     import numpy as np
 
