@@ -9,7 +9,7 @@ Env knobs:
   SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
   SPARK_GRAFT_BENCH_MODE  full | queries | crawl   (default full)
-  SPARK_GRAFT_CRAWL_DOCS  synthetic-web size for the crawl bench (default 400000)
+  SPARK_GRAFT_CRAWL_DOCS  synthetic-web size for the crawl bench (default 800000)
 
 The crawl section measures the north-rule metric (URLs scheduled+deduped
 per second) on the real engine: production-mode rounds (per-host window
@@ -177,7 +177,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "full")
-    crawl_docs = int(os.environ.get("SPARK_GRAFT_CRAWL_DOCS", "400000"))
+    crawl_docs = int(os.environ.get("SPARK_GRAFT_CRAWL_DOCS", "800000"))
 
     from distributed_web_scrapper_and_crawler_spark.session import get_spark
 

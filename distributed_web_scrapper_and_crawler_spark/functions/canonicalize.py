@@ -17,6 +17,7 @@ The Spark-facing surface is a single pandas UDF returning a struct
 
 from __future__ import annotations
 
+from functools import lru_cache
 from urllib.parse import parse_qsl, urlencode, urljoin, urlsplit
 
 import pandas as pd
@@ -167,11 +168,14 @@ def _canon_links_pd(base: pd.Series, href: pd.Series, parity: bool) -> pd.DataFr
     return pd.DataFrame({"url": url, "host": host, "path": out_path})
 
 
+@lru_cache(maxsize=4)
 def canon_links_flat_udf(parity: bool = True):
     """pandas UDF (base, href) -> struct(url, host, path) over FLAT string
     columns — the vectorized hot path used by plans/round.py after a
     JVM-side posexplode (sort/pos/depth stay in codegen; only two string
-    columns cross Arrow)."""
+    columns cross Arrow). Cached per mode: the round loop calls this every
+    round, and a fresh function object would re-pay closure pickling on
+    every query."""
 
     @F.pandas_udf(_CANON_SCHEMA)
     def _canon(base: pd.Series, href: pd.Series) -> pd.DataFrame:

@@ -24,6 +24,7 @@ second Series→struct pandas UDF. No per-row Python UDFs anywhere.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from urllib.parse import urljoin
 
 import pandas as pd
@@ -139,8 +140,10 @@ def extract_links_canon_udf(parity: bool = True):
     return _extract
 
 
+@lru_cache(maxsize=8)
 def extract_fields_udf(rules: tuple[ExtractionRule, ...]):
     """pandas UDF spans -> struct(<field> string, ...) per the rule set.
+    Cached per rule tuple (hashable): the round loop builds it every round.
 
     A rule matches the first text span whose payload starts with
     ``{marker}=`` (the span-marker analog of the reference's CSS
