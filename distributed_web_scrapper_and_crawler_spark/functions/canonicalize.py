@@ -89,38 +89,66 @@ def canonicalize_udf(parity: bool = True):
     return _canon
 
 
+# slow-path triggers inside a path being MERGED by urljoin: a segment that
+# is exactly '.' or '..' (resolved), or an empty '//' segment (urljoin
+# collapses internal empty segments: `segments[1:-1] = filter(None, ...)`)
+_MERGE_SLOW = r"(?:^|/)\.\.?(?:/|$)|//"
+# urlsplit's WHATWG cleanup (bpo-43882): lstrip C0-control-or-space, then
+# remove tab/CR/LF anywhere. One combined pass per series.
+_URL_CLEAN = r"^[\x00-\x20]+|[\t\r\n]"
+
+
 def _canon_links_pd(base: pd.Series, href: pd.Series, parity: bool) -> pd.DataFrame:
     """Vectorized absolutize + canonicalize for a FLAT (base, href) batch —
     the crawl's hottest loop (every discovered link crosses it).
 
-    Fast paths are pure pandas string kernels; any row outside them
-    (foreign scheme, ``..``/``./`` traversal, protocol-relative ``//``,
-    mixed-case scheme, production-mode query strings that need param
-    sorting) falls back to the per-row stdlib path, byte-identical to
-    ``urljoin`` + ``normalize_url_py``/``canonicalize_url_py``. Parity is
-    pinned by tests/test_extract.py's cross-implementation sweep.
+    Contract: byte-identical to the reference's unconditional
+    ``urljoin(base, href)`` (distributed_crawler.py:234,245,256) followed
+    by ``normalize_url_py``/``canonicalize_url_py``, for every non-empty
+    base (the crawl invariant — base is the fetched page URL). urlsplit's
+    WHATWG cleanup (lstrip C0-control/space, strip tab/CR/LF anywhere —
+    bpo-43882) applies to BOTH urljoin operands inside the stdlib, so it
+    is applied once up front here and every later branch — fast or
+    per-row fallback — sees exactly the bytes the stdlib would.
+
+    Fast paths are pure pandas string kernels; any row outside them falls
+    back to the per-row stdlib path: foreign or mixed-case scheme, a
+    ``.``/``..`` dot SEGMENT in the href OR in the base's path (urljoin
+    resolves dot segments when merging relative refs — but keeps them in
+    absolute hrefs, which therefore stay fast), protocol-relative ``//``,
+    absolute href without a netloc (``http:///x`` resolves against the
+    base), href query/fragment, production-mode query strings that need
+    param sorting. Equivalence is pinned by the fixture sweep AND a
+    Hypothesis property test in tests/test_canonicalize.py.
     """
-    href = href.fillna("")
-    base = base.fillna("")
+    href = href.fillna("").str.replace(_URL_CLEAN, "", regex=True)
+    base = base.fillna("").str.replace(_URL_CLEAN, "", regex=True)
     n = len(href)
-    is_abs = href.str.startswith(("http://", "https://"))
+    # absolute iff lowercase http(s) scheme AND a non-empty netloc:
+    # urljoin resolves 'http:///x' (empty netloc) against the base
+    is_abs = href.str.match(r"https?://[^/?#]")
     rel = ~is_abs
 
     absu = pd.Series([None] * n, index=href.index, dtype=object)
     absu[is_abs] = href[is_abs]
     if rel.any():
         h_rel = href[rel]
-        # simple relative: non-empty, no scheme, not protocol-relative, no
-        # dot segments, no query/fragment of its own
+        # simple relative: non-empty, no scheme, no query/fragment of its
+        # own, and none of urljoin's merge rewrites ('.'/'..' segments are
+        # resolved; '//' anywhere — including protocol-relative — is
+        # collapsed by the internal empty-segment filter)
         simple = (h_rel != "") & ~h_rel.str.contains(
-            r"^[A-Za-z][A-Za-z0-9+.-]*:|\.\.|\./|^//|[?#]", regex=True
+            r"^[A-Za-z][A-Za-z0-9+.-]*:|(?:^|/)\.\.?(?:/|$)|//|[?#]", regex=True
         )
         bm = base[rel].str.extract(r"^(https?://[^/?#]*)(/[^?#]*)")
         origin, bpath = bm[0], bm[1]
         rooted = h_rel.str.startswith("/")
         root_rel = simple & rooted & origin.notna()
         absu.loc[root_rel[root_rel].index] = origin[root_rel] + h_rel[root_rel]
-        plain_rel = simple & ~rooted & bpath.notna()
+        # dot segments / '//' in the BASE path are rewritten by urljoin's
+        # merge => such rows must take the stdlib path (rooted hrefs
+        # ignore the base path entirely, so only this branch checks)
+        plain_rel = simple & ~rooted & bpath.notna() & ~bpath.str.contains(_MERGE_SLOW, na=False)
         if plain_rel.any():
             idx = plain_rel[plain_rel].index
             bdir = bpath[plain_rel].str.replace(r"/[^/]*$", "/", regex=True)

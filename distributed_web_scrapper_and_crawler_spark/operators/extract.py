@@ -70,7 +70,10 @@ def extract_links_udf():
                 if delta is None:
                     continue
                 href = sp["text"]
-                absu = href if href.startswith("http://") or href.startswith("https://") else urljoin(base, href)
+                # unconditional, like the reference (distributed_crawler.py:
+                # 234,245,256): urljoin's urlunsplit round-trip also strips
+                # tab/CR/LF and drops empty ?/# from absolute hrefs
+                absu = urljoin(base, href)
                 links.append({"url": absu, "depth_delta": delta, "pos": pos})
                 pos += 1
             out.append(links)
@@ -120,7 +123,8 @@ def extract_links_canon_udf(parity: bool = True):
                 if delta is None:
                     continue
                 href = sp["text"]
-                absu = href if href.startswith(("http://", "https://")) else urljoin(base, href)
+                # unconditional urljoin — reference-exact (see extract_links_udf)
+                absu = urljoin(base, href)
                 s = urlsplit(absu)
                 links.append(
                     {

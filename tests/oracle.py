@@ -112,7 +112,9 @@ def crawl_oracle(
             if delta is None:
                 continue
             href = sp["text"]
-            absu = href if href.startswith(("http://", "https://")) else urljoin(url, href)
+            # unconditional urljoin, exactly like the reference
+            # (distributed_crawler.py:234,245,256)
+            absu = urljoin(url, href)
             enqueue(absu, depth + delta)
         res.statuses[url] = "completed"
         res.seen.add(url)  # visited AFTER success, distributed_crawler.py:265

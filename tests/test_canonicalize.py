@@ -69,6 +69,24 @@ _HREF_CASES = [
     "WeIrD/CaSe.HTML",
     "a b/space.html",
     "/page/17?b=1&a=2#frag",
+    # dot SEGMENTS urljoin resolves that substring checks miss
+    ".",
+    "x/.",
+    "x/..",
+    "a/./b.html",
+    "a/../b.html",
+    # urlsplit's WHATWG cleanup (bpo-43882): tab/CR/LF stripped anywhere,
+    # leading C0-control/space stripped (ADVICE r3 medium)
+    "sub\npage.html",
+    "ta\tbbed/x.html",
+    " lead-space.html",
+    "\x01ctl.html",
+    "http://abs.test/a\nb",
+    # absolute with dot segments: urljoin KEEPS them (no merge happens)
+    "http://abs.test/a/../b",
+    # absolute with EMPTY netloc: urljoin resolves against the base
+    "http:///rooted-by-scheme",
+    "HTTP://UPPER.SCHEME/x",
 ]
 
 _BASE_CASES = [
@@ -79,6 +97,14 @@ _BASE_CASES = [
     "HTTP://MiXeD.Case/Path",
     "https://h.test:443/x",
     "http://h.test:80/x?a=1",
+    # dotty BASE paths: urljoin resolves '..'/'.' during the relative
+    # merge — the fast path must route these rows to the stdlib fallback
+    "http://h.test/a/../b/",
+    "http://h.test/a/./b/",
+    "http://h.test/a/..",
+    "http://h.test/a/../",
+    # base with stray tab (urlsplit strips it from the base too)
+    "http://h.test/x\t/y/",
 ]
 
 
@@ -101,7 +127,56 @@ def test_vectorized_canon_links_matches_stdlib():
     for parity, canon in ((True, normalize_url_py), (False, canonicalize_url_py)):
         got = _canon_links_pd(base, href, parity)
         for i, (b, h) in enumerate(rows):
-            absu = h if h.startswith(("http://", "https://")) else urljoin(b, h)
+            # the TRUE oracle: unconditional urljoin, like the reference
+            # (distributed_crawler.py:234,245,256) — no absolute-href
+            # shortcut, so dot-segment/ctl-char semantics are the stdlib's
+            absu = urljoin(b, h)
+            s = urlsplit(absu)
+            want = (canon(absu), s.netloc if parity else s.netloc.lower(), s.path or "/")
+            g = got.iloc[i]
+            assert (g["url"], g["host"], g["path"]) == want, (parity, b, h)
+
+
+# Hypothesis sweep: adversarial (base, href) pairs — URL-ish alphabets
+# salted with dot segments, control chars, '//', schemes, queries — the
+# vectorized kernel must agree with the stdlib per-row computation on
+# EVERY row (fast path and fallback alike). This property-tests the
+# fast-path/fallback boundary itself rather than enumerated triggers.
+_hy_href = st.one_of(
+    st.from_regex(r"[A-Za-z0-9./_~%\- ]{0,12}", fullmatch=True),
+    st.from_regex(r"(\.\./){0,2}[a-z0-9./]{0,8}(\?[a-z]=[0-9])?(#[a-z0-9]{0,3})?", fullmatch=True),
+    st.from_regex(r"(https?|ftp|HTTP)://[a-z0-9.\-]{0,8}(/[a-z0-9./]{0,8})?", fullmatch=True),
+    st.from_regex(r"//?[a-z0-9./]{0,8}", fullmatch=True),
+    st.builds(
+        lambda a, c, b: a + c + b,
+        st.from_regex(r"[a-z0-9./]{0,6}", fullmatch=True),
+        st.sampled_from(["\t", "\n", "\r", " ", "\x01", "\x1f"]),
+        st.from_regex(r"[a-z0-9./]{0,6}", fullmatch=True),
+    ),
+)
+_hy_base = st.one_of(
+    st.from_regex(r"https?://[a-z]{1,6}\.test(:\d{1,4})?(/[a-z0-9./_\-]{0,14})?(\?[a-z]=[0-9])?", fullmatch=True),
+    st.from_regex(r"http://[a-z]{1,4}\.test/(\.\./|\./|[a-z0-9]{1,4}/){0,3}([a-z0-9]{0,4}|\.\.|\.)", fullmatch=True),
+    st.from_regex(r"http://h\.test/x\t[a-z]{0,3}/", fullmatch=True),
+)
+
+
+@given(_hy_base, st.lists(_hy_href, min_size=1, max_size=6))
+@settings(max_examples=250, deadline=None)
+def test_vectorized_canon_links_property(b, hs):
+    import pandas as pd
+    from urllib.parse import urljoin, urlsplit
+
+    from distributed_web_scrapper_and_crawler_spark.functions.canonicalize import (
+        _canon_links_pd,
+    )
+
+    base = pd.Series([b] * len(hs))
+    href = pd.Series(hs)
+    for parity, canon in ((True, normalize_url_py), (False, canonicalize_url_py)):
+        got = _canon_links_pd(base, href, parity)
+        for i, h in enumerate(hs):
+            absu = urljoin(b, h)
             s = urlsplit(absu)
             want = (canon(absu), s.netloc if parity else s.netloc.lower(), s.path or "/")
             g = got.iloc[i]
