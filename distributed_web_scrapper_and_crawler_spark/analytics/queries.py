@@ -277,6 +277,11 @@ def search_documents_ranked(spark, sf_dir, query: str, k: int = 10) -> DataFrame
     """
     terms = [w.lower() for w in query.split() if w]
     docs = t(spark, sf_dir, "documents")
+    if not terms:
+        # empty/whitespace query: no term can be present => empty result
+        # (mirrors search_documents; without this, sum() over an empty
+        # generator yields the Python int 0 and .filter(0 > 0) throws)
+        return docs.select("doc_id", F.lit(0.0).alias("score")).limit(0)
     tf_cols = []
     for i, w in enumerate(terms):
         pat = rf"\b{re.escape(w)}\b"
@@ -315,6 +320,8 @@ def search_documents_ranked(spark, sf_dir, query: str, k: int = 10) -> DataFrame
 
 def _search_ranked_sql(terms: list[str], k: int = 10) -> str:
     """DuckDB twin of search_documents_ranked — identical BM25 math."""
+    if not terms:
+        return "SELECT doc_id, 0.0 AS score FROM documents LIMIT 0"
 
     def tf(w: str) -> str:
         pat = rf"\b{re.escape(w.lower())}\b".replace("'", "''")

@@ -209,7 +209,14 @@ def sharded_probe_maybe(
     by ``pmod(hash, m)`` where m is a MULTIPLE of n_shards (default: the
     session's shuffle partitions rounded up) — n_shards | m guarantees
     each pmod-group still addresses exactly one shard, so parallelism is
-    not capped at n_shards while tasks keep seeing ~1 shard. At 10^10
+    not capped at n_shards while tasks keep seeing ~1 shard. This holds
+    for NEGATIVE int64 hashes because ShardedBloom enforces power-of-two
+    n_shards (so uint64(hash) % n_shards == pmod(hash, n_shards) ==
+    pmod-group % n_shards); with an arbitrary n_shards the unsigned and
+    signed mappings disagree by 2^64 mod n_shards and a group would mix
+    two shards. (Locality note: ``repartition(m, col)`` hash-partitions
+    the GROUP VALUE, so a task may still receive ~Poisson(1) groups —
+    each group is whole and single-shard, bounding shards/task at a few.) At 10^10
     keys that is ~tens of MB of bits per task instead of the impossible
     12 GB all-shards broadcast. Returns ``df`` plus a ``_maybe`` boolean
     column. Cost: one extra (round-delta-sized) shuffle, traded for
@@ -339,6 +346,18 @@ class ShardedBloom:
     """
 
     def __init__(self, n_shards: int, expected_n: int, fpp: float = 0.01):
+        # POWER OF TWO required: the per-row shard id is uint64(hash) %
+        # n_shards while sharded_probe_maybe partitions rows by signed
+        # pmod(hash, m). For negative int64 hashes the two mappings agree
+        # only when n_shards divides 2^64 — i.e. n_shards is a power of
+        # two — otherwise a pmod-group mixes two shards and the
+        # one-shard-per-task locality guarantee silently degrades.
+        if n_shards < 1 or (n_shards & (n_shards - 1)):
+            raise ValueError(
+                f"ShardedBloom: n_shards must be a power of two (got {n_shards}); "
+                "signed-pmod partitioning and the unsigned per-row shard id only "
+                "address the same shard per group when n_shards divides 2^64"
+            )
         self.n_shards = n_shards
         per = max(1024, expected_n // n_shards)
         self.shards = [NumpyBloom.sized(per, fpp) for _ in range(n_shards)]

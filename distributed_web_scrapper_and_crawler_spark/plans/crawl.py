@@ -57,9 +57,26 @@ class CrawlEngine:
         else:
             c.unpersist()
 
-    def flush_caches(self) -> None:
-        """Release caches retained by lazy_output_tables (materialize the
-        output tables first if you still need them cheaply)."""
+    def flush_caches(self, materialize: bool = True) -> None:
+        """Release caches/broadcasts retained by lazy_output_tables.
+
+        Per-round shard broadcasts are ``destroy()``ed — required to free
+        the driver-side pickled bitmaps (the r2 leak) — so any
+        still-lazy plan referencing them will FAIL with "Broadcast ...
+        destroyed" afterwards, not merely recompute. With
+        ``materialize=True`` (default) the state tables are
+        ``localCheckpoint()``ed first, so post-flush reads of ``state.*``
+        stay safe; internal durable commits pass ``materialize=False``
+        because state was just reloaded from the parquet store and
+        references nothing retained."""
+        if materialize and self._retained_caches and self.state is not None:
+            st = self.state
+            self.state = st.evolve(
+                **{
+                    k: getattr(st, k).localCheckpoint()
+                    for k in ("pending", "done", "seen", "enqueued", "pages", "metrics")
+                }
+            )
         for c in self._retained_caches:
             self._release(c)
         self._retained_caches.clear()
@@ -210,7 +227,7 @@ class CrawlEngine:
         else:
             self.store.write_round(self.state, append_deltas or {})
         self.state = self.store.load_state(self.cfg.field_names(), rnd=self.state.round)
-        self.flush_caches()
+        self.flush_caches(materialize=False)  # state is parquet-backed now
 
     def readmit_cancelled(self) -> int:
         """Make cancelled URLs enqueueable again — the deletable-entry path
@@ -314,7 +331,7 @@ class CrawlEngine:
         self.store.write_round(state, self._merge_buffered(deltas))
         self._buffered_deltas = {}
         self.state = self.store.load_state(self.cfg.field_names(), rnd=state.round)
-        self.flush_caches()
+        self.flush_caches(materialize=False)  # state is parquet-backed now
 
     def flush_to_store(self) -> None:
         """Force-commit any rounds buffered by checkpoint_every > 1 (called

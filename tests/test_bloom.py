@@ -140,3 +140,21 @@ def test_sharded_probe_matches_direct_contains(spark):
     want = dict(zip((int(x) for x in probes), (bool(b) for b in sb.contains(probes))))
     assert got == want
     assert all(got[int(h)] for h in members[:2000])  # zero false negatives
+
+
+def test_sharded_bloom_requires_power_of_two_shards():
+    """ADVICE r3: signed pmod partitioning and the unsigned per-row shard
+    id agree for negative hashes only when n_shards | 2^64 — enforce the
+    power-of-two contract instead of silently degrading task locality."""
+    import pytest
+
+    for bad in (3, 6, 12, 100):
+        with pytest.raises(ValueError, match="power of two"):
+            ShardedBloom(n_shards=bad, expected_n=10_000)
+    # the agreement the contract buys: uint64 % 2^k == pmod(int64, 2^k)
+    rng = np.random.RandomState(11)
+    h = rng.randint(-(2**62), 2**62, size=10_000).astype(np.int64)
+    for k in (1, 8, 16):
+        unsigned = (h.view(np.uint64) % np.uint64(k)).astype(np.int64)
+        signed_pmod = np.mod(h, k)  # numpy mod is pmod for positive modulus
+        assert (unsigned == signed_pmod).all()

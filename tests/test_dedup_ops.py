@@ -137,3 +137,73 @@ def test_lsh_ann_subset_of_bruteforce_universe(spark):
     exact = {(r["q_id"], r["neighbor_id"]): r["score"] for r in ann.cosine_topk(emb, q, k=49).collect()}
     for r in rowsa:
         assert abs(exact[(r["q_id"], r["neighbor_id"])] - r["score"]) < 1e-9
+
+
+def test_multiprobe_improves_recall_and_supersets_single_probe(spark):
+    """n_probe > 1 probes the query's bucket plus its lowest-margin
+    single-bit flips: the candidate universe strictly contains the
+    single-probe one, so top-k recall vs the exact brute force can only
+    rise. On random gaussians at 16 planes single-probe recall is far
+    from 1, leaving measurable headroom."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = ann.cosine_topk(emb, q, k=3).collect()
+    want = {(r["q_id"], r["neighbor_id"]) for r in exact}
+
+    def recall(n_probe):
+        got = ann.lsh_ann_topk(emb, q, k=3, n_planes=16, n_probe=n_probe).collect()
+        pairs = {(r["q_id"], r["neighbor_id"]) for r in got}
+        return len(pairs & want) / len(want), pairs
+
+    r1, p1 = recall(1)
+    r4, p4 = recall(4)
+    assert r4 >= r1
+    assert r4 > 0.0
+    # at 16 planes over 300 random vectors, 3 extra probed buckets must
+    # surface at least one neighbor the single probe missed
+    assert len(p4) > len(p1)
+
+
+def test_adaptive_n_planes_derivation(spark):
+    from distributed_web_scrapper_and_crawler_spark.operators.ann import adaptive_n_planes
+
+    # below target occupancy: floor at min_planes (sf0.1 defaults must not move)
+    assert adaptive_n_planes(1_000, target_bucket_size=1024, min_planes=8) == 8
+    assert adaptive_n_planes(500_000, target_bucket_size=1024, min_planes=8) == 9
+    # the 10^10 design point from the docstring
+    assert adaptive_n_planes(10_000_000_000, target_bucket_size=1024, min_planes=8) == 24
+    # occupancy bound holds wherever the max_planes clamp doesn't bite
+    for n in (10**4, 10**6, 10**9):
+        p = adaptive_n_planes(n, target_bucket_size=512, min_planes=4)
+        assert n / (1 << p) <= 512
+    import pytest
+
+    with pytest.raises(ValueError):
+        adaptive_n_planes(0)
+    # the hint can only RAISE the explicit plane count
+    got = ann.lsh_ann_topk(
+        spark.createDataFrame([(0, [1.0, 0.0]), (1, [0.9, 0.1])], "vec_id long, embedding array<float>"),
+        spark.createDataFrame([(0, [1.0, 0.0])], "vec_id long, embedding array<float>"),
+        k=1,
+        n_planes=2,
+        corpus_count=10,
+    )
+    assert got.count() <= 1  # derivation path executes end-to-end
+
+
+def test_search_ranked_empty_query_returns_empty(spark):
+    """ADVICE r3: an empty/whitespace query must yield an empty result,
+    not a TypeError from .filter(int)."""
+    from distributed_web_scrapper_and_crawler_spark.analytics.queries import (
+        _search_ranked_sql,
+        search_documents_ranked,
+    )
+
+    res = search_documents_ranked(spark, "/root/testdata/sf0.001", "   ")
+    assert res.columns == ["doc_id", "score"]
+    assert res.count() == 0
+    assert "LIMIT 0" in _search_ranked_sql([])
