@@ -94,8 +94,66 @@ def canonicalize_udf(parity: bool = True):
 # collapses internal empty segments: `segments[1:-1] = filter(None, ...)`)
 _MERGE_SLOW = r"(?:^|/)\.\.?(?:/|$)|//"
 # urlsplit's WHATWG cleanup (bpo-43882): lstrip C0-control-or-space, then
-# remove tab/CR/LF anywhere. One combined pass per series.
+# remove tab/CR/LF anywhere.
 _URL_CLEAN = r"^[\x00-\x20]+|[\t\r\n]"
+# detection twin of _URL_CLEAN: matches iff the replace would change the
+# string (leading C0/space, or tab/CR/LF anywhere)
+_URL_DIRTY = r"^[\x00-\x20]|[\t\r\n]"
+
+
+def _clean_urlish(s: pd.Series) -> pd.Series:
+    """Apply urlsplit's cleanup, allocation-free on the clean common case:
+    one regex SCAN over all rows, then rewrite only the dirty ones —
+    real-world link batches are overwhelmingly clean, and an unconditional
+    .str.replace would copy every string in the crawl's hottest loop."""
+    s = s.fillna("")
+    dirty = s.str.contains(_URL_DIRTY, regex=True)
+    if dirty.any():
+        s = s.copy()
+        s[dirty] = s[dirty].str.replace(_URL_CLEAN, "", regex=True)
+    return s
+
+
+# queries whose raw-pair string sort is PROVABLY identical to
+# urlencode(sorted(parse_qsl(q, keep_blank_values=True))):
+# - full pair(&pair)* structure, every pair carrying '=' (parse_qsl drops
+#   empty chunks and appends '=' to bare keys otherwise);
+# - key chars limited to [A-Za-z_~] — every code point ABOVE '=' (0x3D),
+#   so string order of 'k=v' equals tuple order (k, v) even when one key
+#   is a prefix of another;
+# - value chars limited to unreserved [A-Za-z0-9_.~-] minus '=' —
+#   unquote_plus/quote_plus round-trip them byte-identically (no %XX, no
+#   '+', and no value '=' that urlencode would escape to %3D).
+_SORTABLE_Q = r"^[A-Za-z_~]+=[A-Za-z0-9_.~\-]*(?:&[A-Za-z_~]+=[A-Za-z0-9_.~\-]*)*$"
+
+
+def _append_canon_query(base_url: pd.Series, q: pd.Series) -> pd.Series:
+    """base_url + canonical (param-sorted) query, vectorized where provable.
+
+    Byte-identical to canonicalize_url_py's query handling: rows whose raw
+    query fits ``_SORTABLE_Q`` get a plain split/sort/join (no urllib
+    machinery); other non-empty queries run the real parse_qsl+urlencode
+    per row — but only on the query STRING, the scheme/host/path work
+    stays vectorized either way."""
+    has_q = q.notna() & (q != "")
+    if not has_q.any():
+        return base_url
+    out = base_url.copy()
+    sortable = has_q & q.str.match(_SORTABLE_Q, na=False)
+    if sortable.any():
+        si = sortable[sortable].index
+        out.loc[si] = base_url[sortable] + "?" + pd.Series(
+            ["&".join(sorted(s.split("&"))) for s in q[sortable]], index=si
+        )
+    hard = has_q & ~sortable
+    if hard.any():
+        hi = hard[hard].index
+        vals = []
+        for bu, s in zip(base_url[hard], q[hard]):
+            enc = urlencode(sorted(parse_qsl(s, keep_blank_values=True)))
+            vals.append(f"{bu}?{enc}" if enc else bu)
+        out.loc[hi] = vals
+    return out
 
 
 def _canon_links_pd(base: pd.Series, href: pd.Series, parity: bool) -> pd.DataFrame:
@@ -121,78 +179,131 @@ def _canon_links_pd(base: pd.Series, href: pd.Series, parity: bool) -> pd.DataFr
     param sorting. Equivalence is pinned by the fixture sweep AND a
     Hypothesis property test in tests/test_canonicalize.py.
     """
-    href = href.fillna("").str.replace(_URL_CLEAN, "", regex=True)
-    base = base.fillna("").str.replace(_URL_CLEAN, "", regex=True)
+    import numpy as np
+
+    href = _clean_urlish(href)
+    base = _clean_urlish(base)
     n = len(href)
     # absolute iff lowercase http(s) scheme AND a non-empty netloc:
     # urljoin resolves 'http:///x' (empty netloc) against the base
     is_abs = href.str.match(r"https?://[^/?#]")
     rel = ~is_abs
 
-    absu = pd.Series([None] * n, index=href.index, dtype=object)
-    absu[is_abs] = href[is_abs]
+    url = pd.Series([None] * n, index=href.index, dtype=object)
+    host = pd.Series([None] * n, index=href.index, dtype=object)
+    out_path = pd.Series([None] * n, index=href.index, dtype=object)
+    handled = is_abs.copy()
+
+    # -- fast relative branches: outputs are ASSEMBLED from the pieces the
+    # branch already knows (origin, branch path, raw query), never
+    # re-extracted from the joined string — one less full-width regex pass
     if rel.any():
         h_rel = href[rel]
-        # simple relative: non-empty, no scheme, no query/fragment of its
-        # own, and none of urljoin's merge rewrites ('.'/'..' segments are
-        # resolved; '//' anywhere — including protocol-relative — is
-        # collapsed by the internal empty-segment filter)
-        simple = (h_rel != "") & ~h_rel.str.contains(
-            r"^[A-Za-z][A-Za-z0-9+.-]*:|(?:^|/)\.\.?(?:/|$)|//|[?#]", regex=True
+        # split at the first '?'/'#': path part drives the merge; the raw
+        # query (text between the first '?' and any '#') is dropped by
+        # parity-normalize and param-sorted by production-canonicalize;
+        # fragments are dropped by both
+        hm = h_rel.str.extract(r"^([^?#]*)(?:\?([^#]*))?")
+        h_pre, h_q = hm[0], hm[1]
+        # simple relative: non-empty path part, no scheme, and none of
+        # urljoin's merge rewrites ('.'/'..' segments are resolved; '//'
+        # anywhere — including protocol-relative — is collapsed by the
+        # internal empty-segment filter). A query/fragment no longer
+        # disqualifies: it never participates in the path merge. An EMPTY
+        # path part ('?q', '#f') hits urljoin's take-the-base-path branch
+        # => stdlib.
+        simple = (h_pre != "") & ~h_pre.str.contains(
+            r"^[A-Za-z][A-Za-z0-9+.-]*:|(?:^|/)\.\.?(?:/|$)|//", regex=True
         )
         bm = base[rel].str.extract(r"^(https?://[^/?#]*)(/[^?#]*)")
         origin, bpath = bm[0], bm[1]
-        rooted = h_rel.str.startswith("/")
+        rooted = h_pre.str.startswith("/")
         root_rel = simple & rooted & origin.notna()
-        absu.loc[root_rel[root_rel].index] = origin[root_rel] + h_rel[root_rel]
         # dot segments / '//' in the BASE path are rewritten by urljoin's
         # merge => such rows must take the stdlib path (rooted hrefs
         # ignore the base path entirely, so only this branch checks)
         plain_rel = simple & ~rooted & bpath.notna() & ~bpath.str.contains(_MERGE_SLOW, na=False)
-        if plain_rel.any():
-            idx = plain_rel[plain_rel].index
-            bdir = bpath[plain_rel].str.replace(r"/[^/]*$", "/", regex=True)
-            absu.loc[idx] = origin[plain_rel] + bdir + h_rel[plain_rel]
-    rest = absu.isna()
-    if rest.any():
-        absu[rest] = [urljoin(b, h) for b, h in zip(base[rest], href[rest])]
+        fastrel = root_rel | plain_rel
+        if fastrel.any():
+            path_rel = pd.Series([None] * len(h_rel), index=h_rel.index, dtype=object)
+            path_rel[root_rel] = h_pre[root_rel]
+            if plain_rel.any():
+                bdir = bpath[plain_rel].str.replace(r"/[^/]*$", "/", regex=True)
+                path_rel[plain_rel] = bdir + h_pre[plain_rel]
+            # origin == scheme://netloc with a guaranteed-lowercase scheme
+            # (the extract pattern is case-sensitive) => netloc by slicing
+            https = origin.str.startswith("https://", na=False)
+            netloc_rel = origin.str.slice(7)
+            if https.any():
+                netloc_rel[https] = origin[https].str.slice(8)
+            fi = fastrel[fastrel].index
+            handled.loc[fi] = True
+            pr = path_rel[fastrel]  # starts with '/', never empty
+            out_path.loc[fi] = pr
+            if parity:
+                # normalize_url_py == scheme://netloc + path — the query
+                # and fragment are dropped wholesale, so url IS origin+path
+                url.loc[fi] = origin[fastrel] + pr
+                host.loc[fi] = netloc_rel[fastrel]
+            else:
+                sch = https[fastrel]
+                nl = netloc_rel[fastrel].str.lower()
+                nls = nl.copy()
+                m80 = ~sch & nl.str.endswith(":80")
+                if m80.any():
+                    nls[m80] = nl[m80].str[:-3]
+                m443 = sch & nl.str.endswith(":443")
+                if m443.any():
+                    nls[m443] = nl[m443].str[:-4]
+                base_url = (
+                    pd.Series(np.where(sch.to_numpy(), "https://", "http://"), index=fi) + nls + pr
+                )
+                url.loc[fi] = _append_canon_query(base_url, h_q[fastrel])
+                host.loc[fi] = nl
 
-    # canonicalize: vector path only for well-formed lowercase http(s);
-    # ONE extract yields scheme/netloc/path/has-query for every branch
-    am = absu.str.extract(r"^(https?)://([^/?#]*)([^?#]*)(\?)?")
-    scheme, netloc, path = am[0], am[1], am[2]
-    vec = scheme.notna()
-    url = pd.Series([None] * n, index=href.index, dtype=object)
-    if parity:
-        # normalize_url_py == f"{scheme}://{netloc}{path}" (drops query+frag)
-        url[vec] = scheme[vec] + "://" + netloc[vec] + path[vec]
-        host = netloc.copy()
-        slow = ~vec
-        if slow.any():
-            url[slow] = [normalize_url_py(u) for u in absu[slow]]
-            host[slow] = [urlsplit(u).netloc for u in absu[slow]]
-    else:
-        nl = netloc.str.lower()
-        # query rows need param sorting => per-row slow path
-        vecp = vec & am[3].isna()
-        nls = nl.copy()
-        m80 = vecp & (scheme == "http") & nl.str.endswith(":80")
-        if m80.any():
-            nls[m80] = nl[m80].str[:-3]
-        m443 = vecp & (scheme == "https") & nl.str.endswith(":443")
-        if m443.any():
-            nls[m443] = nl[m443].str[:-4]
-        p = path.where(path != "", "/")
-        url[vecp] = scheme[vecp] + "://" + nls[vecp] + p[vecp]
-        host = nl.copy()
-        slow = ~vecp
-        if slow.any():
-            url[slow] = [canonicalize_url_py(u) for u in absu[slow]]
-            host[slow] = [urlsplit(u).netloc.lower() for u in absu[slow]]
-    out_path = path.where(path != "", "/")
-    pslow = ~vec
-    if pslow.any():
-        out_path[pslow] = [urlsplit(u).path or "/" for u in absu[pslow]]
+    # -- absolute hrefs: the one branch that still needs an extract, run
+    # over the abs subset only (is_abs guarantees a match)
+    if is_abs.any():
+        ai = is_abs[is_abs].index
+        am = href[is_abs].str.extract(r"^(https?)://([^/?#]*)([^?#]*)(?:\?([^#]*))?")
+        scheme_a, netloc_a, path_a, q_a = am[0], am[1], am[2], am[3]
+        p_a = path_a.where(path_a != "", "/")
+        out_path.loc[ai] = p_a
+        if parity:
+            # normalize drops query+fragment; path kept verbatim (may be '')
+            url.loc[ai] = scheme_a + "://" + netloc_a + path_a
+            host.loc[ai] = netloc_a
+        else:
+            nl = netloc_a.str.lower()
+            host.loc[ai] = nl
+            nls = nl.copy()
+            m80 = (scheme_a == "http") & nl.str.endswith(":80")
+            if m80.any():
+                nls[m80] = nl[m80].str[:-3]
+            m443 = (scheme_a == "https") & nl.str.endswith(":443")
+            if m443.any():
+                nls[m443] = nl[m443].str[:-4]
+            url.loc[ai] = _append_canon_query(scheme_a + "://" + nls + p_a, q_a)
+
+    # -- everything else: per-row stdlib, one urljoin + one urlsplit
+    restm = ~handled
+    if restm.any():
+        ri = restm[restm].index
+        urls_r, hosts_r, paths_r = [], [], []
+        for b, h in zip(base[restm], href[restm]):
+            u = urljoin(b, h)
+            if parity:
+                s = urlsplit(u)
+                urls_r.append(f"{s.scheme}://{s.netloc}{s.path}")  # == normalize_url_py
+                hosts_r.append(s.netloc)
+            else:
+                urls_r.append(canonicalize_url_py(u))
+                s = urlsplit(u)
+                hosts_r.append(s.netloc.lower())
+            paths_r.append(s.path or "/")
+        url.loc[ri] = urls_r
+        host.loc[ri] = hosts_r
+        out_path.loc[ri] = paths_r
     return pd.DataFrame({"url": url, "host": host, "path": out_path})
 
 

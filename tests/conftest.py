@@ -20,10 +20,15 @@ def spark():
     # AQE off: at test scale its per-job re-optimization is pure serial
     # driver overhead (same reasoning as the crawl bench, PLANS.md ledger);
     # production sessions keep it on (session.py defaults).
+    # shuffle_partitions=4: every test table is tiny (<= a few thousand
+    # rows), so task COUNT is pure scheduling overhead — 4 instead of 8
+    # partitions halves the per-job task spam without changing any
+    # partitioning-sensitive behavior (claim order, seq, parity are
+    # partition-count-invariant by design and tested so).
     s = get_spark(
         app_name="dwsc-tests",
-        master="local[4]",
-        shuffle_partitions=8,
+        master="local[8]",
+        shuffle_partitions=4,
         extra_conf={"spark.sql.adaptive.enabled": "false"},
     )
     yield s
@@ -71,3 +76,32 @@ def tiny_corpus(spark, tiny_spec):
 @pytest.fixture(scope="session")
 def tiny_seeds(tiny_spec) -> list[str]:
     return [f"http://{tiny_spec.hosts[0]}/page/0"]
+
+
+def collect_engine_state(eng) -> dict:
+    """Comparable end-state snapshot (claims, seen, pages, max_seq)."""
+    return {
+        "claims": eng.claim_order(),
+        "seen": sorted(r["url"] for r in eng.state.seen.collect()),
+        "pages": sorted(r["url"] for r in eng.state.pages.collect()),
+        "max_seq": eng.state.max_seq,
+    }
+
+
+@pytest.fixture(scope="session")
+def tiny_uninterrupted(spark, tiny_corpus, tiny_seeds) -> dict:
+    """End state of ONE uninterrupted full-drain parity crawl of the tiny
+    corpus — the shared reference every durability/lifecycle test compares
+    against (VERDICT r3 #4: each test re-ran this identical crawl; the
+    round budget never binds on the tiny corpus, so engines at budget
+    8/16/32/64 produce the same claims and the single reference serves
+    them all)."""
+    from distributed_web_scrapper_and_crawler_spark.config import CrawlConfig
+    from distributed_web_scrapper_and_crawler_spark.plans.crawl import CrawlEngine
+
+    eng = CrawlEngine(
+        spark=spark, corpus=tiny_corpus, cfg=CrawlConfig(parity_mode=True, round_budget=32)
+    )
+    eng.seed(tiny_seeds)
+    eng.run()
+    return collect_engine_state(eng)

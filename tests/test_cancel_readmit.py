@@ -16,7 +16,9 @@ def test_cancel_then_readmit_then_recrawl(spark, tiny_corpus, tiny_seeds, filter
     cfg = CrawlConfig(parity_mode=True, round_budget=8, seen_filter=filter_kind)
     eng = CrawlEngine(spark=spark, corpus=tiny_corpus, cfg=cfg)
     eng.seed(tiny_seeds)
-    eng.run(max_rounds=2)
+    # one round is enough state for the lifecycle under test: done rows to
+    # cancel, discovered links left pending
+    eng.run(max_rounds=1)
 
     n_cancelled = eng.cancel()
     assert n_cancelled > 0
@@ -40,12 +42,13 @@ def test_cancel_then_readmit_then_recrawl(spark, tiny_corpus, tiny_seeds, filter
             assert u in seen
 
 
-def test_cuckoo_engine_matches_bloom_engine(spark, tiny_corpus, tiny_seeds):
-    orders = []
-    for kind in ("bloom", "cuckoo"):
-        cfg = CrawlConfig(parity_mode=True, round_budget=64, seen_filter=kind)
-        eng = CrawlEngine(spark=spark, corpus=tiny_corpus, cfg=cfg, bloom_capacity=1 << 14)
-        eng.seed(tiny_seeds)
-        eng.run()
-        orders.append(eng.claim_order())
-    assert orders[0] == orders[1]
+def test_cuckoo_engine_matches_bloom_engine(spark, tiny_corpus, tiny_seeds, tiny_uninterrupted):
+    """The seen filter is a correctness-neutral prefilter: a cuckoo engine
+    must claim in exactly the order of the shared bloom-engine reference
+    (tiny_uninterrupted; budgets never bind on the tiny corpus, so the
+    comparison also pins budget invariance)."""
+    cfg = CrawlConfig(parity_mode=True, round_budget=64, seen_filter="cuckoo")
+    eng = CrawlEngine(spark=spark, corpus=tiny_corpus, cfg=cfg, bloom_capacity=1 << 14)
+    eng.seed(tiny_seeds)
+    eng.run()
+    assert eng.claim_order() == tiny_uninterrupted["claims"]

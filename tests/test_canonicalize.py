@@ -87,6 +87,21 @@ _HREF_CASES = [
     # absolute with EMPTY netloc: urljoin resolves against the base
     "http:///rooted-by-scheme",
     "HTTP://UPPER.SCHEME/x",
+    # query-string zoo: sortable fast path vs parse_qsl-only shapes
+    "/x?b=2&a=1",
+    "x?b=2&a=1#f",
+    "/x?a=2&a=1",
+    "/x?ab=1&a=2",  # prefix keys: tuple sort == string sort only for alpha keys
+    "/x?x=1&x=",
+    "/x?flag&b=1",  # pair without '=': parse_qsl appends 'flag=' -> slow
+    "/x?a%20b=1",  # percent-encoding round-trips differently -> slow
+    "/x?a=1&&b=2",  # empty pair collapsed by parse_qsl -> slow
+    "/x?a=1;b=2",  # ';' is DATA since py3.10 (single separator)
+    "/x?",
+    "/x?#",
+    "/x#a?b",  # '?' inside the fragment is not a query
+    "x;p/y?b=1&a=2",  # path params stay literal path bytes
+    "/x?a=b+c&d=e",  # '+' decodes to space and re-encodes to '+' -> slow-safe
 ]
 
 _BASE_CASES = [
@@ -147,6 +162,9 @@ _hy_href = st.one_of(
     st.from_regex(r"(\.\./){0,2}[a-z0-9./]{0,8}(\?[a-z]=[0-9])?(#[a-z0-9]{0,3})?", fullmatch=True),
     st.from_regex(r"(https?|ftp|HTTP)://[a-z0-9.\-]{0,8}(/[a-z0-9./]{0,8})?", fullmatch=True),
     st.from_regex(r"//?[a-z0-9./]{0,8}", fullmatch=True),
+    st.from_regex(
+        r"/?[a-z0-9./]{0,8}\?[A-Za-z_~%&=+;0-9.\-]{0,12}(#[a-z?/]{0,4})?", fullmatch=True
+    ),
     st.builds(
         lambda a, c, b: a + c + b,
         st.from_regex(r"[a-z0-9./]{0,6}", fullmatch=True),
