@@ -109,6 +109,17 @@ class CrawlConfig:
     # enable this (outputs are only read at the end). Costs cache memory
     # proportional to total fetched rows — bound crawls only.
     lazy_output_tables: bool = False
+    # Link-canonicalization implementation: 'arrow' (default) runs the
+    # vectorized pandas kernel over two flat string columns — measured
+    # FASTER on this box than per-row JVM regex (1.60 s vs 1.76-1.95 s per
+    # 1M-link batch, PLANS.md round-4 ledger) because the kernel is
+    # batched C while the Catalyst expression pays ~12 regex executions
+    # per row; 'hybrid' canonicalizes fast-path links entirely in
+    # whole-stage codegen and ships only residue strings across Arrow —
+    # byte-identical (tests/test_canonicalize.py hybrid sweep), preferable
+    # on deployments where Python worker processes are the scarce
+    # resource (memory-tight executors, no Arrow IPC budget).
+    canon_impl: str = "arrow"
 
     def field_names(self) -> list[str]:
         return [r.field for r in self.extraction_rules]

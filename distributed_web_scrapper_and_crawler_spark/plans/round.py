@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from distributed_web_scrapper_and_crawler_spark.config import CrawlConfig
 from distributed_web_scrapper_and_crawler_spark.functions.canonicalize import (
     allowed_domain_filter,
+    attach_canon_links,
     canon_links_flat_udf,
 )
 from distributed_web_scrapper_and_crawler_spark.operators.bloom import (
@@ -150,34 +151,46 @@ def run_round(
         "array_sort(filter(spans, s -> s.kind IN ('link_book', 'link_next', 'link_cat')),"
         " (a, b) -> CASE WHEN a.offset < b.offset THEN -1 WHEN a.offset > b.offset THEN 1 ELSE 0 END)"
     )
-    canon_flat = canon_links_flat_udf(parity=cfg.parity_mode)
-    links = (
-        fetched.select(
-            F.col("seq").alias("parent_seq"),
-            F.col("depth").alias("parent_depth"),
-            F.col("url").alias("_base"),
-            F.posexplode(link_spans).alias("pos", "_sp"),
+    # canonicalization over two flat string columns. Default 'arrow': the
+    # vectorized pandas kernel — measured faster than per-row JVM regex on
+    # this box (config.py canon_impl note; PLANS.md round-4 ledger).
+    # 'hybrid': fast-path links canonicalize in whole-stage codegen and
+    # only residue strings cross Arrow (attach_canon_links). Either way,
+    # path is computed only when robots enforcement will read it — a third
+    # string column over the round's biggest intermediate is pure
+    # transfer cost otherwise.
+    need_path = bool(cfg.enforce_robots and robots is not None)
+    exploded = fetched.select(
+        F.col("seq").alias("parent_seq"),
+        F.col("depth").alias("parent_depth"),
+        F.col("url").alias("_base"),
+        F.posexplode(link_spans).alias("pos", "_sp"),
+    ).select(
+        "parent_seq",
+        (
+            F.col("parent_depth")
+            + F.when(F.col("_sp.kind") == "link_book", F.lit(1)).otherwise(F.lit(0))
         )
-        .select(
-            "parent_seq",
-            (
-                F.col("parent_depth")
-                + F.when(F.col("_sp.kind") == "link_book", F.lit(1)).otherwise(F.lit(0))
-            )
-            .cast("int")
-            .alias("depth"),
-            F.col("pos").cast("int").alias("pos"),
-            canon_flat(F.col("_base"), F.col("_sp.text")).alias("_l"),
+        .cast("int")
+        .alias("depth"),
+        F.col("pos").cast("int").alias("pos"),
+        "_base",
+        F.col("_sp.text").alias("_href"),
+    )
+    if cfg.canon_impl == "hybrid":
+        links = attach_canon_links(
+            exploded, "_base", "_href", parity=cfg.parity_mode, include_path=need_path
         )
-        .select(
-            "parent_seq",
-            "depth",
-            "pos",
+    else:
+        canon_flat = canon_links_flat_udf(cfg.parity_mode, need_path)
+        links = exploded.withColumn("_l", canon_flat(F.col("_base"), F.col("_href")))
+        links = links.select(
+            *exploded.columns,
             F.col("_l.url").alias("url"),
             F.col("_l.host").alias("host"),
-            F.col("_l.path").alias("path"),
+            *([F.col("_l.path").alias("path")] if need_path else []),
         )
-    )
+    links = links.drop("_base", "_href")
     # allow-filter on netloc substring — identical pre/post normalization
     # because normalize preserves netloc (distributed_crawler.py:67-78)
     links = links.filter(allowed_domain_filter(F.col("host"), cfg.allowed_domains, parity=cfg.parity_mode))
@@ -185,7 +198,9 @@ def run_round(
         links = links.filter(F.col("depth") <= cfg.max_depth)
     if cfg.enforce_robots and robots is not None:
         links = apply_robots(links, robots)
-    links = links.drop("path").withColumn("url_hash", F.xxhash64("url"))
+    if need_path:
+        links = links.drop("path")
+    links = links.withColumn("url_hash", F.xxhash64("url"))
 
     # -- intra-batch dedup: first discovery wins (SURVEY.md §2.4) ----------
     # Hash aggregate, NOT a sort window: min(struct(parent_seq, pos, ...))

@@ -248,3 +248,55 @@ def test_allow_filter_case_sensitive_parity(spark):
         allowed_domain_filter(F.col("host"), ("Books.ToScrape.COM",), parity=False)
     ).count()
     assert kept3 == 2
+
+
+def test_hybrid_jvm_canon_matches_kernel(spark):
+    """attach_canon_links' JVM fast path must be byte-identical to the
+    pandas kernel (and so to urljoin + normalize/canonicalize) over the
+    full fixture zoo, in both modes, with and without the path column —
+    and the fast-path coverage must be high (the hybrid's point is that
+    almost no strings cross Arrow)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from distributed_web_scrapper_and_crawler_spark.functions.canonicalize import (
+        _canon_links_pd,
+        _jvm_canon,
+        attach_canon_links,
+    )
+
+    rows = [(b, h) for b in _BASE_CASES for h in _HREF_CASES]
+    df = spark.createDataFrame(rows, "b string, h string").coalesce(2)
+    for parity in (True, False):
+        want = _canon_links_pd(
+            pd.Series([r[0] for r in rows]), pd.Series([r[1] for r in rows]), parity
+        )
+        got = (
+            attach_canon_links(df, "b", "h", parity=parity, include_path=True)
+            .select("b", "h", "url", "host", "path")
+            .collect()
+        )
+        by_pair = {(r["b"], r["h"]): (r["url"], r["host"], r["path"]) for r in got}
+        for i, (b, h) in enumerate(rows):
+            w = want.iloc[i]
+            assert by_pair[(b, h)] == (w["url"], w["host"], w["path"]), (parity, b, h)
+        # no-path variant agrees on url/host
+        got2 = attach_canon_links(df, "b", "h", parity=parity, include_path=False).collect()
+        assert "path" not in got2[0].asDict()
+        by2 = {(r["b"], r["h"]): (r["url"], r["host"]) for r in got2}
+        for i, (b, h) in enumerate(rows):
+            w = want.iloc[i]
+            assert by2[(b, h)] == (w["url"], w["host"]), (parity, b, h)
+    # fast-path coverage on a bench-shaped batch: the JVM path must own
+    # root-relative, absolute, and sortable-query links
+    bench_rows = [
+        ("http://h0.example.test/catalogue/page/3", "/catalogue/item/7"),
+        ("http://h0.example.test/catalogue/page/3", "item/8.html"),
+        ("http://h0.example.test/catalogue/page/3", "http://h1.example.test/x"),
+        ("http://h0.example.test/catalogue/page/3", "/catalogue/item/9?b=2&a=1#frag"),
+    ]
+    bdf = spark.createDataFrame(bench_rows, "b string, h string")
+    for parity in (True, False):
+        fast, _, _, _ = _jvm_canon(F.col("b"), F.col("h"), parity)
+        n_fast = bdf.select(fast.alias("f")).filter("f").count()
+        assert n_fast == len(bench_rows), f"parity={parity}: {n_fast}/{len(bench_rows)} fast"

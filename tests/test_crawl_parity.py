@@ -137,3 +137,15 @@ def test_interrupted_equals_uninterrupted(spark, small_corpus, seeds, eng_full):
     a = {r["url"] for r in part.state.seen.collect()}
     b = {r["url"] for r in eng_full.state.seen.collect()}
     assert a == b
+
+
+def test_hybrid_canon_engine_full_parity(spark, small_corpus, oracle, seeds):
+    """canon_impl='hybrid' (JVM fast path + residue-only Arrow) must crawl
+    identically: claim-for-claim prefix parity vs the serial oracle
+    (bounded rounds — the expression-level byte-equality is already
+    pinned exhaustively by test_canonicalize's hybrid sweep; this proves
+    the round-plan wiring)."""
+    eng = _run_engine(spark, small_corpus, seeds, budget=64, max_rounds=3, canon_impl="hybrid")
+    got = eng.claim_order()
+    assert len(got) > 0
+    assert got == oracle.claim_order[: len(got)]
