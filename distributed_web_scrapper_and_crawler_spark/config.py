@@ -121,6 +121,14 @@ class CrawlConfig:
     # resource (memory-tight executors, no Arrow IPC budget).
     canon_impl: str = "arrow"
 
+    def __post_init__(self) -> None:
+        # round.py dispatches on == 'hybrid'; without this a typo ('jvm',
+        # 'hybird') would silently run the arrow path
+        if self.canon_impl not in ("arrow", "hybrid"):
+            raise ValueError(
+                f"unknown canon_impl {self.canon_impl!r}: use arrow|hybrid"
+            )
+
     def field_names(self) -> list[str]:
         return [r.field for r in self.extraction_rules]
 

@@ -160,8 +160,13 @@ def adaptive_n_planes(
     need = math.ceil(math.log2(max(2.0, corpus_count / target_bucket_size)))
     n_planes = min(max_planes, max(min_planes, need))
     # the occupancy bound this function exists to keep (only the
-    # max_planes clamp may break it, and then only at > 2^30 * target)
-    assert corpus_count / (1 << n_planes) <= target_bucket_size or n_planes == max_planes
+    # max_planes clamp may break it, and then only at > 2^30 * target);
+    # explicit raise, not assert — asserts vanish under python -O
+    if corpus_count / (1 << n_planes) > target_bucket_size and n_planes != max_planes:
+        raise AssertionError(
+            f"adaptive_n_planes occupancy bound violated: n={corpus_count}, "
+            f"planes={n_planes}, target={target_bucket_size}"
+        )
     return n_planes
 
 

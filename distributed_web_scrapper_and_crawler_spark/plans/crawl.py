@@ -77,6 +77,13 @@ class CrawlEngine:
                     for k in ("pending", "done", "seen", "enqueued", "pages", "metrics")
                 }
             )
+        if materialize and self._retained_caches and self._buffered_deltas:
+            # buffered (not-yet-durable) deltas are lazy plans over the same
+            # retained caches/broadcasts: pin them too, or the eventual
+            # flush_to_store() would read destroyed broadcasts
+            self._buffered_deltas = {
+                k: v.localCheckpoint() for k, v in self._buffered_deltas.items()
+            }
         for c in self._retained_caches:
             self._release(c)
         self._retained_caches.clear()

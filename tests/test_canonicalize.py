@@ -300,3 +300,17 @@ def test_hybrid_jvm_canon_matches_kernel(spark):
         fast, _, _, _ = _jvm_canon(F.col("b"), F.col("h"), parity)
         n_fast = bdf.select(fast.alias("f")).filter("f").count()
         assert n_fast == len(bench_rows), f"parity={parity}: {n_fast}/{len(bench_rows)} fast"
+
+
+def test_canon_impl_validated():
+    """A typo'd canon_impl must raise, not silently run the arrow path
+    (ADVICE r4 low #1)."""
+    import pytest as _pytest
+
+    from distributed_web_scrapper_and_crawler_spark.config import CrawlConfig
+
+    for bad in ("hybird", "jvm", ""):
+        with _pytest.raises(ValueError, match="canon_impl"):
+            CrawlConfig(canon_impl=bad)
+    CrawlConfig(canon_impl="hybrid")  # both legal values construct fine
+    CrawlConfig(canon_impl="arrow")

@@ -193,3 +193,44 @@ def test_delta_branch_exercised_with_stub(spark, tmp_path, monkeypatch):
     store.spark = SimpleNamespace(read=_R())
     out = store._read(None, ["p1", "p2", "p3"])
     assert out.paths == ["p1", "p2", "p3"]
+
+
+def test_flush_caches_pins_buffered_deltas(spark, tiny_corpus, tiny_seeds, tmp_path, tiny_uninterrupted):
+    """flush_caches(materialize=True) destroys retained broadcasts; buffered
+    (not-yet-durable) deltas from checkpoint_every > 1 are lazy plans over
+    those broadcasts and must be localCheckpointed first, or the eventual
+    flush_to_store() dies with 'Broadcast destroyed' and the buffered rounds
+    are unrecoverable (ADVICE r4 medium)."""
+    # sharded filter: the one mode whose retained handles are Broadcasts
+    # (destroy()ed, not unpersisted => lazy readers fail, never recompute)
+    cfg = CrawlConfig(
+        parity_mode=True,
+        round_budget=32,
+        lazy_output_tables=True,
+        seen_filter="sharded",
+        bloom_shards=4,
+    )
+    ckpt = str(tmp_path / "ckpt")
+    eng = CrawlEngine(
+        spark=spark, corpus=tiny_corpus, cfg=cfg, ckpt_dir=ckpt, checkpoint_every=3
+    )
+    eng.seed(tiny_seeds)
+    # round 1 is non-durable: its deltas sit in _buffered_deltas as lazy
+    # plans over the caches/broadcasts retained by lazy_output_tables
+    for _ in range(2):
+        from distributed_web_scrapper_and_crawler_spark.plans.round import run_round
+
+        res = run_round(eng.spark, eng.state, eng.corpus, eng.cfg, bloom=eng.bloom)
+        assert not res.drained
+        eng._materialize(res)
+    assert eng._buffered_deltas and eng._retained_caches
+    eng.flush_caches(materialize=True)  # user frees memory mid-crawl
+    eng.flush_to_store()  # must NOT hit destroyed broadcasts
+    eng.run()  # finish the crawl
+
+    eng2 = CrawlEngine(
+        spark=spark, corpus=tiny_corpus, cfg=cfg, ckpt_dir=ckpt, checkpoint_every=3
+    )
+    eng2.resume()
+    eng2.run()
+    assert _collect_state(eng2) == tiny_uninterrupted
