@@ -10,6 +10,17 @@ Env knobs:
   SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
   SPARK_GRAFT_BENCH_MODE  full | queries | crawl   (default full)
   SPARK_GRAFT_CRAWL_DOCS  synthetic-web size for the crawl bench (default 800000)
+  SPARK_GRAFT_CRAWL_RUNS  quiet-gated crawl attempts, best kept (default 2)
+  SPARK_GRAFT_QUIET_WAIT_S  max sec to wait for a quiet window before each
+                            crawl attempt (default 300; 0 disables gating)
+
+Interference accounting (VERDICT r4 #1): this VM takes bursty co-tenant
+CPU steal (multi-minute storms of 150-300 ticks/15 s vs quiet spells of
+< 20 — see BENCH.md). Every section of the JSON line therefore carries
+the /proc/stat steal ticks consumed DURING it, the crawl section is
+best-of-N with each attempt gated on a bounded quiet-window wait (the
+same protocol tools/scaling_evidence.py uses), and ALL crawl attempts
+are reported so the steal correlation is visible in the artifact itself.
 
 The crawl section measures the north-rule metric (URLs scheduled+deduped
 per second) on the real engine: production-mode rounds (per-host window
@@ -28,6 +39,40 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+def _steal_ticks() -> int:
+    """Cumulative steal ticks (USER_HZ, normally 10 ms) across all cpus —
+    /proc/stat 'cpu' line field 8. -1 where unavailable (non-Linux)."""
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+    except (OSError, IndexError, ValueError):
+        return -1
+
+
+def _steal_delta(s0: int, s1: int) -> int | None:
+    return None if s0 < 0 or s1 < 0 else s1 - s0
+
+
+def wait_for_quiet(max_wait_s: int, threshold: int = 60, window_s: int = 15) -> dict:
+    """Block until a window_s sample shows < threshold steal ticks, or the
+    bounded wait budget runs out (identical gate to
+    tools/scaling_evidence.py). Returns what happened so the artifact
+    records whether the following run started quiet or gave up mid-storm."""
+    t0 = time.monotonic()
+    last = -1
+    while max_wait_s > 0 and _steal_ticks() >= 0:
+        s0 = _steal_ticks()
+        time.sleep(window_s)
+        last = _steal_ticks() - s0
+        if last < threshold or (time.monotonic() - t0) > max_wait_s:
+            break
+    return {
+        "waited_sec": round(time.monotonic() - t0, 1),
+        "last_window_ticks": last,
+        "quiet": 0 <= last < threshold,
+    }
+
 
 HEADLINE = [
     "flagship_q1",
@@ -56,18 +101,23 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
             QUERY_REGISTRY[name].fn(spark, warm_dir).count()
 
     out: dict[str, float] = {}
+    steal: dict[str, int | None] = {}
     for name in HEADLINE:
         fn = QUERY_REGISTRY[name].fn
         best = None
+        best_steal = None
         # min of 2 runs per query: this VM takes bursty co-tenant CPU
         # steal (see BENCH.md); steal only ever slows a run
         for _ in range(2):
+            s0 = _steal_ticks()
             t0 = time.monotonic()
             fn(spark, sf_dir).count()
             dt = time.monotonic() - t0
-            best = dt if best is None else min(best, dt)
+            if best is None or dt < best:
+                best, best_steal = dt, _steal_delta(s0, _steal_ticks())
         out[name] = round(best, 3)
-    return out
+        steal[name] = best_steal  # ticks taken during the KEPT (fastest) run
+    return out, steal
 
 
 def _bench_corpus(spark, n_docs: int):
@@ -173,11 +223,33 @@ def bench_crawl(spark, n_docs: int, rounds: int = 4, seed_frac: float = 0.3) -> 
     }
 
 
+def bench_crawl_best_of(spark, n_docs: int, n_runs: int, quiet_wait_s: int) -> tuple[dict, list[dict]]:
+    """Best (highest urls_per_sec) of n_runs crawl attempts, each gated on
+    a bounded quiet-window wait and annotated with its during-run steal.
+    All attempts are returned for the artifact — a single un-gated number
+    on this VM is noise (VERDICT r4 #1; judge-reproduced 2x storm swing)."""
+    best = None
+    attempts: list[dict] = []
+    for i in range(max(1, n_runs)):
+        gate = wait_for_quiet(quiet_wait_s)
+        s0 = _steal_ticks()
+        r = bench_crawl(spark, n_docs)
+        r["steal_ticks"] = _steal_delta(s0, _steal_ticks())
+        r["quiet_gate"] = gate
+        r["run_idx"] = i
+        attempts.append(r)
+        if best is None or r["urls_per_sec"] > best["urls_per_sec"]:
+            best = r
+    return best, attempts
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "full")
     crawl_docs = int(os.environ.get("SPARK_GRAFT_CRAWL_DOCS", "800000"))
+    crawl_runs = int(os.environ.get("SPARK_GRAFT_CRAWL_RUNS", "2"))
+    quiet_wait_s = int(os.environ.get("SPARK_GRAFT_QUIET_WAIT_S", "300"))
 
     from distributed_web_scrapper_and_crawler_spark.session import get_spark
 
@@ -185,12 +257,20 @@ def main() -> None:
     # comparison must differ only in local[N] (BASELINE.md protocol)
     spark = get_spark(app_name="dwsc-bench", master=f"local[{cpus}]", shuffle_partitions=32)
 
+    steal_start = _steal_ticks()
+    t_start = time.monotonic()
     queries: dict[str, float] = {}
+    queries_steal: dict = {}
     crawl: dict = {}
+    crawl_attempts: list[dict] = []
     if mode in ("full", "queries"):
-        queries = bench_queries(spark, sf_dir)
+        sq0 = _steal_ticks()
+        queries, queries_steal = bench_queries(spark, sf_dir)
+        queries_steal["_section_total"] = _steal_delta(sq0, _steal_ticks())
     if mode in ("full", "crawl"):
-        crawl = bench_crawl(spark, crawl_docs)
+        crawl, crawl_attempts = bench_crawl_best_of(
+            spark, crawl_docs, crawl_runs, quiet_wait_s
+        )
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:
@@ -204,7 +284,18 @@ def main() -> None:
         "queries": queries,
         "sf": sf_val,
         "crawl": crawl,
+        "crawl_attempts": crawl_attempts,
         "cpus": cpus,
+        # interference record (VERDICT r4 #1): steal ticks are USER_HZ
+        # (10 ms) of cpu time the hypervisor gave a co-tenant during the
+        # bench; > ~100/min means the wall times above are storm-inflated
+        "steal": {
+            "unit": "ticks_10ms",
+            "total": _steal_delta(steal_start, _steal_ticks()),
+            "bench_wall_sec": round(time.monotonic() - t_start, 1),
+            "queries": queries_steal,
+            "quiet_gate_max_wait_s": quiet_wait_s,
+        },
     }
     print(json.dumps(result))
 

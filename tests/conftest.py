@@ -105,3 +105,36 @@ def tiny_uninterrupted(spark, tiny_corpus, tiny_seeds) -> dict:
     eng.seed(tiny_seeds)
     eng.run()
     return collect_engine_state(eng)
+
+
+# -- interference accounting (VERDICT r4 #4): suite wall-time claims on
+# this VM are meaningless without their steal regime — print the
+# /proc/stat steal ticks consumed during the session so "suite took N min"
+# always carries whether a co-tenant storm inflated it.
+def _session_steal_ticks() -> int:
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+    except (OSError, IndexError, ValueError):
+        return -1
+
+
+def pytest_sessionstart(session):
+    import time as _time
+
+    session._dwsc_steal0 = _session_steal_ticks()
+    session._dwsc_t0 = _time.monotonic()
+
+
+def pytest_sessionfinish(session, exitstatus):
+    import time as _time
+
+    s0 = getattr(session, "_dwsc_steal0", -1)
+    s1 = _session_steal_ticks()
+    wall = _time.monotonic() - getattr(session, "_dwsc_t0", _time.monotonic())
+    ticks = (s1 - s0) if (s0 >= 0 and s1 >= 0) else None
+    regime = "n/a"
+    if ticks is not None and wall > 0:
+        per_min = ticks / (wall / 60)
+        regime = f"{ticks} ticks ({per_min:.0f}/min: {'STORM' if per_min > 100 else 'quiet'})"
+    print(f"\n[steal] suite wall {wall:.0f}s, co-tenant steal {regime}")
