@@ -100,6 +100,9 @@ def lsh_candidate_pairs(spark, sf_dir):
     doc="MinHash-LSH at bands=2/rows_per_band=4: proves the ordered band "
     "signature stays injective when the recall knob is turned (the previous "
     "sum/min/max signature collision-merged buckets here)",
+    # re-parameterization of lsh_candidate_pairs, which stays
+    # driver-checked (50-entry budget)
+    pytest_gated=True,
 )
 def lsh_candidate_pairs_b2r4(spark, sf_dir):
     mh = dedup.minhash_table(t(spark, sf_dir, "documents"), "doc_id", "text", n_hashes=8, ngram=8)
@@ -240,6 +243,9 @@ def lsh_near_dups(spark, sf_dir):
         WHERE rk <= 5 ORDER BY q_id, rank""",
     doc="LSH-bucketed approximate top-k (random-hyperplane signatures, bucket "
     "equi-join); oracle reproduces the md5 hyperplanes in DuckDB list functions",
+    # single-probe special case of ann_lsh_topk_multiprobe, which stays
+    # driver-checked (50-entry budget)
+    pytest_gated=True,
 )
 def ann_lsh_topk(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")

@@ -1,0 +1,91 @@
+"""Driver check-budget discipline (VERDICT r4 #2).
+
+The driver compares at most 50 registry entries per round; anything past
+that silently rotates out of CORRECTNESS_r{N}.json. Invariants here:
+
+1. the driver-facing registry never exceeds the budget (queries() itself
+   raises past 50 — exercised);
+2. the pytest-gated set is EXACTLY the documented redundant
+   parameterizations, each with its more general sibling still
+   driver-checked;
+3. every gated query passes the driver's own gate — row-count + sorted
+   column names + order-insensitive values vs its DuckDB oracle at
+   sf0.01 — so gating never weakens correctness evidence.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as e
+from distributed_web_scrapper_and_crawler_spark.analytics import QUERY_REGISTRY
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+# gated query -> its more general sibling that stays driver-checked
+GATED = {
+    "lsh_candidate_pairs_b2r4": "lsh_candidate_pairs",
+    "text_search_multi": "text_search",
+    "ann_lsh_topk": "ann_lsh_topk_multiprobe",
+}
+
+
+def test_driver_registry_within_budget():
+    qs = e.queries()
+    assert len(qs) <= e.DRIVER_CHECK_BUDGET, (
+        f"{len(qs)} driver-facing entries: the driver would silently rotate "
+        f"{len(qs) - e.DRIVER_CHECK_BUDGET} out of CORRECTNESS_r{{N}}.json"
+    )
+    # every oracle key is a driver-checked query
+    assert set(e.oracle_sql()) <= set(qs)
+
+
+def test_gated_set_is_exactly_documented():
+    assert set(e.pytest_gated_queries()) == set(GATED)
+    driver_names = set(e.queries())
+    for gated, sibling in GATED.items():
+        assert gated not in driver_names
+        assert sibling in driver_names, (
+            f"{gated} is gated but its sibling {sibling} is not driver-checked"
+        )
+
+
+def test_budget_overflow_raises(monkeypatch):
+    from distributed_web_scrapper_and_crawler_spark.analytics.queries import QuerySpec
+
+    registry = dict(QUERY_REGISTRY)
+    for i in range(e.DRIVER_CHECK_BUDGET + 1):
+        registry[f"_overflow_{i}"] = QuerySpec(fn=lambda s, d: None, sql=None)
+    monkeypatch.setattr(e, "QUERY_REGISTRY", registry)
+    with pytest.raises(RuntimeError, match="budget"):
+        e.queries()
+
+
+@pytest.mark.parametrize("name", sorted(GATED))
+def test_gated_query_matches_oracle(spark, name):
+    """The driver-identical gate, run on exactly the entries the driver no
+    longer sees."""
+    duckdb = pytest.importorskip("duckdb")
+    if not os.path.isdir(SF_DIR):
+        pytest.skip(f"no testdata at {SF_DIR}")
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    from selfcheck import TABLES, normalize
+
+    spec = QUERY_REGISTRY[name]
+    assert spec.pytest_gated and spec.sql is not None
+    spdf = spec.fn(spark, SF_DIR).toPandas()
+
+    con = duckdb.connect()
+    for tname in TABLES:
+        con.execute(f"CREATE VIEW {tname} AS SELECT * FROM '{SF_DIR}/{tname}.parquet'")
+    opdf = con.execute(spec.sql).fetchdf()
+
+    a, b = normalize(spdf), normalize(opdf)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b)
+    assert a.equals(b), f"{name}: value mismatch vs DuckDB oracle"

@@ -42,6 +42,14 @@ def main(names: list[str]) -> int:
             f"CREATE VIEW {tname} AS SELECT * FROM '{SF_DIR}/{tname}.parquet'"
         )
     qs, oracles = e.queries(), e.oracle_sql()
+    # pytest-gated entries (excluded from the driver's 50-entry budget)
+    # still get the identical check here
+    from distributed_web_scrapper_and_crawler_spark.analytics import QUERY_REGISTRY
+
+    for gname, gfn in e.pytest_gated_queries().items():
+        qs[gname] = gfn
+        if QUERY_REGISTRY[gname].sql is not None:
+            oracles[gname] = QUERY_REGISTRY[gname].sql
     names = names or list(qs)
     n_fail = 0
     for name in names:
