@@ -120,6 +120,14 @@ class CrawlConfig:
     # on deployments where Python worker processes are the scarce
     # resource (memory-tight executors, no Arrow IPC budget).
     canon_impl: str = "arrow"
+    # Granularity of the Arrow crossing in the links phase: 'flat' ships
+    # (base, href) per LINK (the base string ~16x duplicated on dup-heavy
+    # rounds); 'doc' ships (base, array<href>) per DOCUMENT so each base
+    # crosses once, with parallel-array outputs re-aligned by
+    # arrays_zip+posexplode in codegen (VERDICT r4 #3 experiment — see
+    # PLANS.md ledger for the measured verdict). Only meaningful with
+    # canon_impl='arrow'; 'hybrid' canonicalizes post-explode in the JVM.
+    links_kernel: str = "flat"
 
     def __post_init__(self) -> None:
         # round.py dispatches on == 'hybrid'; without this a typo ('jvm',
@@ -127,6 +135,15 @@ class CrawlConfig:
         if self.canon_impl not in ("arrow", "hybrid"):
             raise ValueError(
                 f"unknown canon_impl {self.canon_impl!r}: use arrow|hybrid"
+            )
+        if self.links_kernel not in ("flat", "doc"):
+            raise ValueError(
+                f"unknown links_kernel {self.links_kernel!r}: use flat|doc"
+            )
+        if self.links_kernel == "doc" and self.canon_impl == "hybrid":
+            raise ValueError(
+                "links_kernel='doc' requires canon_impl='arrow': the hybrid "
+                "path canonicalizes after the posexplode"
             )
 
     def field_names(self) -> list[str]:

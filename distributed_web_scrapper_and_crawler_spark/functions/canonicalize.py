@@ -339,6 +339,62 @@ def canon_links_flat_udf(parity: bool = True, include_path: bool = True):
     return _canon
 
 
+@lru_cache(maxsize=8)
+def canon_links_doc_udf(parity: bool = True, include_path: bool = True):
+    """DOC-granularity canonicalize: ``(base, hrefs: array<string>) ->
+    struct(urls: array<string>, hosts: array<string>[, paths])``.
+
+    The flat kernel ships the parent URL across Arrow once PER LINK —
+    ~16x duplicated bytes on the round's biggest intermediate (VERDICT
+    r4 #3). Here each base string crosses ONCE per document; the kernel
+    flattens with ``np.repeat`` (object-pointer fan-out, no string
+    copies), reuses ``_canon_links_pd`` verbatim — so every
+    byte-equality proof for the flat kernel covers this one — and
+    re-chunks the outputs with ``np.split`` (again pointer slices).
+    Outputs are PARALLEL ARRAYS, not array<struct>: per-link Python
+    struct/dict construction is exactly what made the old fused
+    array<struct> UDF lose to the flat kernel (PLANS.md ledger); a
+    struct-of-arrays return keeps the per-doc Python work to three list
+    headers. The caller re-aligns positionally with ``arrays_zip`` +
+    ``posexplode`` — order is preserved end-to-end.
+    """
+    import numpy as np
+
+    fields = [
+        T.StructField("urls", T.ArrayType(T.StringType())),
+        T.StructField("hosts", T.ArrayType(T.StringType())),
+    ]
+    if include_path:
+        fields.append(T.StructField("paths", T.ArrayType(T.StringType())))
+    schema = T.StructType(fields)
+
+    @F.pandas_udf(schema)
+    def _canon(base: pd.Series, hrefs: pd.Series) -> pd.DataFrame:
+        counts = np.fromiter((len(h) for h in hrefs), dtype=np.int64, count=len(hrefs))
+        total = int(counts.sum())
+        if total == 0:
+            empty = [[] for _ in range(len(base))]
+            out = {"urls": empty, "hosts": list(empty)}
+            if include_path:
+                out["paths"] = list(empty)
+            return pd.DataFrame(out, index=base.index)
+        flat_base = pd.Series(np.repeat(base.to_numpy(), counts))
+        flat_href = pd.Series(np.concatenate([np.asarray(h, dtype=object) for h in hrefs]))
+        flat = _canon_links_pd(flat_base, flat_href, parity)
+        # np.split at the doc boundaries: each chunk is an object-pointer
+        # view, which Arrow accepts as a list element directly
+        cuts = np.cumsum(counts)[:-1]
+        out = {
+            "urls": np.split(flat["url"].to_numpy(), cuts),
+            "hosts": np.split(flat["host"].to_numpy(), cuts),
+        }
+        if include_path:
+            out["paths"] = np.split(flat["path"].to_numpy(), cuts)
+        return pd.DataFrame(out, index=base.index)
+
+    return _canon
+
+
 def _jvm_canon(b: F.Column, h: F.Column, parity: bool):
     """The kernel's fast-path branch logic re-expressed in Catalyst:
     returns (fast, url, host, path) Columns where ``fast`` marks rows the

@@ -41,6 +41,7 @@ from distributed_web_scrapper_and_crawler_spark.config import CrawlConfig
 from distributed_web_scrapper_and_crawler_spark.functions.canonicalize import (
     allowed_domain_filter,
     attach_canon_links,
+    canon_links_doc_udf,
     canon_links_flat_udf,
 )
 from distributed_web_scrapper_and_crawler_spark.operators.bloom import (
@@ -160,37 +161,80 @@ def run_round(
     # string column over the round's biggest intermediate is pure
     # transfer cost otherwise.
     need_path = bool(cfg.enforce_robots and robots is not None)
-    exploded = fetched.select(
-        F.col("seq").alias("parent_seq"),
-        F.col("depth").alias("parent_depth"),
-        F.col("url").alias("_base"),
-        F.posexplode(link_spans).alias("pos", "_sp"),
-    ).select(
-        "parent_seq",
-        (
-            F.col("parent_depth")
-            + F.when(F.col("_sp.kind") == "link_book", F.lit(1)).otherwise(F.lit(0))
+    if cfg.links_kernel == "doc" and cfg.canon_impl == "arrow":
+        # DOC granularity (VERDICT r4 #3): one Arrow crossing per document
+        # — base ships once, hrefs as one array<string>; outputs come back
+        # as parallel arrays and the explode happens AFTER the kernel, so
+        # pos/kind/depth still never leave codegen. arrays_zip aligns
+        # kinds with the kernel outputs positionally (the kernel is
+        # order-preserving by construction).
+        canon_doc = canon_links_doc_udf(cfg.parity_mode, need_path)
+        doc = fetched.select(
+            F.col("seq").alias("parent_seq"),
+            F.col("depth").alias("parent_depth"),
+            F.col("url").alias("_base"),
+            link_spans.alias("_spans"),
+        ).withColumn(
+            "_c", canon_doc(F.col("_base"), F.expr("transform(_spans, s -> s.text)"))
         )
-        .cast("int")
-        .alias("depth"),
-        F.col("pos").cast("int").alias("pos"),
-        "_base",
-        F.col("_sp.text").alias("_href"),
-    )
-    if cfg.canon_impl == "hybrid":
-        links = attach_canon_links(
-            exploded, "_base", "_href", parity=cfg.parity_mode, include_path=need_path
+        doc = (
+            doc.withColumn("_kinds", F.expr("transform(_spans, s -> s.kind)"))
+            .withColumn("_urls", F.col("_c.urls"))
+            .withColumn("_hosts", F.col("_c.hosts"))
+        )
+        zip_cols = ["_kinds", "_urls", "_hosts"]
+        if need_path:
+            doc = doc.withColumn("_paths", F.col("_c.paths"))
+            zip_cols.append("_paths")
+        links = doc.select(
+            "parent_seq",
+            "parent_depth",
+            F.posexplode(F.arrays_zip(*zip_cols)).alias("pos", "_z"),
+        ).select(
+            "parent_seq",
+            (
+                F.col("parent_depth")
+                + F.when(F.col("_z._kinds") == "link_book", F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("int")
+            .alias("depth"),
+            F.col("pos").cast("int").alias("pos"),
+            F.col("_z._urls").alias("url"),
+            F.col("_z._hosts").alias("host"),
+            *([F.col("_z._paths").alias("path")] if need_path else []),
         )
     else:
-        canon_flat = canon_links_flat_udf(cfg.parity_mode, need_path)
-        links = exploded.withColumn("_l", canon_flat(F.col("_base"), F.col("_href")))
-        links = links.select(
-            *exploded.columns,
-            F.col("_l.url").alias("url"),
-            F.col("_l.host").alias("host"),
-            *([F.col("_l.path").alias("path")] if need_path else []),
+        exploded = fetched.select(
+            F.col("seq").alias("parent_seq"),
+            F.col("depth").alias("parent_depth"),
+            F.col("url").alias("_base"),
+            F.posexplode(link_spans).alias("pos", "_sp"),
+        ).select(
+            "parent_seq",
+            (
+                F.col("parent_depth")
+                + F.when(F.col("_sp.kind") == "link_book", F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("int")
+            .alias("depth"),
+            F.col("pos").cast("int").alias("pos"),
+            "_base",
+            F.col("_sp.text").alias("_href"),
         )
-    links = links.drop("_base", "_href")
+        if cfg.canon_impl == "hybrid":
+            links = attach_canon_links(
+                exploded, "_base", "_href", parity=cfg.parity_mode, include_path=need_path
+            )
+        else:
+            canon_flat = canon_links_flat_udf(cfg.parity_mode, need_path)
+            links = exploded.withColumn("_l", canon_flat(F.col("_base"), F.col("_href")))
+            links = links.select(
+                *exploded.columns,
+                F.col("_l.url").alias("url"),
+                F.col("_l.host").alias("host"),
+                *([F.col("_l.path").alias("path")] if need_path else []),
+            )
+        links = links.drop("_base", "_href")
     # allow-filter on netloc substring — identical pre/post normalization
     # because normalize preserves netloc (distributed_crawler.py:67-78)
     links = links.filter(allowed_domain_filter(F.col("host"), cfg.allowed_domains, parity=cfg.parity_mode))

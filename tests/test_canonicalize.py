@@ -314,3 +314,55 @@ def test_canon_impl_validated():
             CrawlConfig(canon_impl=bad)
     CrawlConfig(canon_impl="hybrid")  # both legal values construct fine
     CrawlConfig(canon_impl="arrow")
+
+
+def test_doc_kernel_matches_flat_kernel(spark):
+    """canon_links_doc_udf (one Arrow crossing per DOCUMENT, parallel-array
+    outputs — VERDICT r4 #3) must be byte-identical to the flat kernel over
+    the full fixture zoo, in both modes, with and without paths, including
+    ragged docs (0-link documents must yield empty arrays, not nulls)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from distributed_web_scrapper_and_crawler_spark.functions.canonicalize import (
+        _canon_links_pd,
+        canon_links_doc_udf,
+    )
+
+    # one "document" per base carrying the whole href zoo, plus a 0-link doc
+    docs = [(b, list(_HREF_CASES)) for b in _BASE_CASES]
+    docs.append(("http://empty.example.test/", []))
+    df = spark.createDataFrame(docs, "b string, hs array<string>").coalesce(2)
+    for parity in (True, False):
+        for include_path in (True, False):
+            udf = canon_links_doc_udf(parity, include_path)
+            got = {
+                r["b"]: r["_c"]
+                for r in df.withColumn("_c", udf(F.col("b"), F.col("hs"))).collect()
+            }
+            for b, hs in docs:
+                want = _canon_links_pd(
+                    pd.Series([b] * len(hs)), pd.Series(list(hs)), parity
+                )
+                c = got[b]
+                assert list(c["urls"]) == list(want["url"]), (parity, b)
+                assert list(c["hosts"]) == list(want["host"]), (parity, b)
+                if include_path:
+                    assert list(c["paths"]) == list(want["path"]), (parity, b)
+                else:
+                    assert "paths" not in c.asDict()
+
+
+def test_links_kernel_validated():
+    """links_kernel typos must raise; doc granularity requires the arrow
+    canon path (hybrid canonicalizes after the explode)."""
+    import pytest as _pytest
+
+    from distributed_web_scrapper_and_crawler_spark.config import CrawlConfig
+
+    with _pytest.raises(ValueError, match="links_kernel"):
+        CrawlConfig(links_kernel="docs")
+    with _pytest.raises(ValueError, match="links_kernel='doc'"):
+        CrawlConfig(links_kernel="doc", canon_impl="hybrid")
+    CrawlConfig(links_kernel="doc")
+    CrawlConfig(links_kernel="flat", canon_impl="hybrid")
