@@ -161,7 +161,7 @@ def run_round(
     # string column over the round's biggest intermediate is pure
     # transfer cost otherwise.
     need_path = bool(cfg.enforce_robots and robots is not None)
-    if cfg.links_kernel == "doc" and cfg.canon_impl == "arrow":
+    if cfg.resolved_links_kernel() == "doc":
         # DOC granularity (VERDICT r4 #3): one Arrow crossing per document
         # — base ships once, hrefs as one array<string>; outputs come back
         # as parallel arrays and the explode happens AFTER the kernel, so

@@ -366,3 +366,7 @@ def test_links_kernel_validated():
         CrawlConfig(links_kernel="doc", canon_impl="hybrid")
     CrawlConfig(links_kernel="doc")
     CrawlConfig(links_kernel="flat", canon_impl="hybrid")
+    # 'auto' resolves per canon path: doc under arrow, flat under hybrid
+    assert CrawlConfig().resolved_links_kernel() == "doc"
+    assert CrawlConfig(canon_impl="hybrid").resolved_links_kernel() == "flat"
+    assert CrawlConfig(links_kernel="flat").resolved_links_kernel() == "flat"

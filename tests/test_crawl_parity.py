@@ -152,13 +152,14 @@ def test_hybrid_canon_engine_full_parity(spark, small_corpus, oracle, seeds):
 
 
 def test_doc_links_kernel_engine_full_parity(spark, small_corpus, oracle, seeds, eng_full):
-    """links_kernel='doc' (one Arrow crossing per document, arrays_zip
-    re-alignment — VERDICT r4 #3) must crawl identically: full-drain
-    claim-for-claim parity vs the serial oracle, and a seen-set equal to
-    the flat kernel's (the kernel-level byte-equality is pinned by
+    """The flat and doc links kernels must crawl identically. eng_full runs
+    the DEFAULT (auto -> doc, the round-5 measured winner); this engine
+    pins links_kernel='flat' — full-drain claim-for-claim parity vs the
+    serial oracle plus a seen-set equal to the doc run's keeps BOTH
+    granularities covered (the kernel-level byte-equality is pinned by
     test_canonicalize's doc-kernel sweep; this proves the round-plan
     wiring, pos/depth re-alignment included)."""
-    eng = _run_engine(spark, small_corpus, seeds, budget=64, links_kernel="doc")
+    eng = _run_engine(spark, small_corpus, seeds, budget=64, links_kernel="flat")
     assert eng.claim_order() == oracle.claim_order
     a = {r["url"] for r in eng.state.seen.collect()}
     b = {r["url"] for r in eng_full.state.seen.collect()}
