@@ -61,6 +61,11 @@ def run_level(cpus: int, n_docs: int) -> dict:
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_BENCH_MODE="crawl",
         SPARK_GRAFT_CRAWL_DOCS=str(n_docs),
+        # bench.py's own quiet-gated best-of-N (round 5) would nest inside
+        # THIS harness's gating — run exactly one crawl per subprocess so
+        # the protocol (best-of-N fresh-JVM runs, gated HERE) is unchanged
+        SPARK_GRAFT_CRAWL_RUNS="1",
+        SPARK_GRAFT_QUIET_WAIT_S="0",
         # enough storage memory that corpus + retained round caches never
         # evict mid-bench (identical at both levels)
         SPARK_GRAFT_DRIVER_MEM=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
