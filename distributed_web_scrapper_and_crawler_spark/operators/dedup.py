@@ -33,6 +33,39 @@ from distributed_web_scrapper_and_crawler_spark.functions.text import (
 )
 
 
+def _spread_small_scan(df: DataFrame) -> DataFrame:
+    """Small-input scan-parallelism guard: a few-MB parquet scan yields 1-4
+    partitions, so the per-shingle hash work downstream would serialize on
+    as many cores until the first exchange (measured 3-8x the whole query
+    wall at sf0.1). Repartitioning the DOCUMENT rows (small) is far cheaper
+    than letting the first exchange move shingle rows (~150x as many).
+    No-op at scale: any real corpus scan already has >= defaultParallelism
+    splits, so no shuffle is added on the 100 TB path."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def _char_ngrams_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle) rows via explode(sequence)+substr — whole-stage-codegen
+    shingling. The higher-order ``transform`` in functions.char_ngrams does
+    NOT codegen (interpreted per element); generating positions and slicing
+    inside codegen measured 10x faster at sf0.1 (PLANS.md ledger). Short
+    strings yield one gram, matching char_ngrams exactly."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+        .select(
+            "id",
+            "__t",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.length("__t") - (n - 1), F.lit(1)))
+            ).alias("__i"),
+        )
+        .select("id", F.expr(f"substr(__t, __i, {n})").alias("shingle"))
+    )
+
+
 def exact_dup_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(n_docs, n_unique, n_dup_docs) on the md5 content fingerprint."""
     return df.agg(
@@ -58,19 +91,16 @@ def shingle_table(
     computes it row-locally with ``array_distinct`` before the explode —
     zero shuffle, where a post-explode ``.distinct()`` shuffles every
     shingle occurrence (~150x the document count). The shuffle variant
-    (``local_distinct=False``) exists because a downstream SELF-join
-    (minhash LSH) measured 2x faster with it: the distinct's exchange is
-    shared by both join sides, making the pipeline compute-once, which
-    beats saving the shuffle (sf0.1 measurements in PLANS.md ledger)."""
+    (``local_distinct=False``) remains for set-semantics consumers that
+    want the exchange co-located on shingle; minhash no longer uses it —
+    min over a multiset equals min over the set, so the minhash path
+    skips the distinct entirely (round-5 ledger, PLANS.md)."""
     if local_distinct:
-        return df.select(
+        return _spread_small_scan(df).select(
             F.col(id_col).alias("id"),
             F.explode(F.array_distinct(char_ngrams(text_col, n))).alias("shingle"),
         )
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(char_ngrams(text_col, n)).alias("shingle"))
-        .distinct()
-    )
+    return _char_ngrams_rows(_spread_small_scan(df), id_col, text_col, n).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -86,17 +116,18 @@ def ngram_jaccard_pairs(
     shared(a,b) via shingle equi-join; |a ∪ b| = |a| + |b| - shared.
     Returns (a, b, jaccard) with a < b, jaccard rounded to 4 decimals.
     """
-    sh = shingle_table(df, id_col, text_col, n)
+    # materialize the shingle table ONCE, BEFORE the hot-list pass: it
+    # feeds five consumers (the hot-list agg, the anti-join probe, both
+    # self-join sides, the size table) and Catalyst plans no exchange
+    # reuse across them — checkpointing after the hot filter (the round-4
+    # shape) still ran the shingling pipeline twice, once for the hot
+    # list and once for the survivors (measured ~2.3 s/pass at sf0.1;
+    # round-5 ledger, PLANS.md). The real-system analog is writing the
+    # inverted index before the pair-generation pass.
+    sh = shingle_table(df, id_col, text_col, n).localCheckpoint()
     if max_shingle_df is not None:
         hot = sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_df).select("shingle")
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    # materialize the inverted index ONCE: it feeds four consumers (both
-    # self-join sides + the size table twice) and Catalyst plans no
-    # exchange reuse across them — without this the shingling + hot-filter
-    # pipeline runs four times (measured ~2x the query wall at sf0.1).
-    # The real-system analog is writing the inverted index before the
-    # pair-generation pass.
-    sh = sh.localCheckpoint()
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti").localCheckpoint()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     # shuffle-hash, never broadcast: the inverted index is the BIG side at
     # scale — AQE otherwise broadcasts the whole 725k-row table at sf0.1
@@ -122,14 +153,20 @@ def ngram_jaccard_pairs(
 def minhash_table(df: DataFrame, id_col: str, text_col: str, n_hashes: int = 8, ngram: int = 8) -> DataFrame:
     """(id, h, minhash): k independent minhashes via seed-concat md5 hashing.
 
-    One explode of the shingle set, then one groupBy — the per-seed hash
+    One explode of the shingle OCCURRENCES (no distinct: min over a
+    multiset equals min over the set, and shingle duplication is ~7% on
+    web text — the round-4 ``.distinct()`` cost a full 150x-doc-count
+    string shuffle for nothing), then one groupBy — the per-seed hash
     is ``md5(concat(seed, '#', shingle))`` so the oracle can reproduce
     it. The k-way seed explode looks expensive but ISN'T the shuffle: the
     (id, h) groupBy partial-aggregates map-side, so only k rows per doc
     hit the wire — and the generator pipeline codegens better than the
-    measured alternative (k min-aggregate columns + stack unpivot ran
-    5x slower at sf0.1; PLANS.md ledger)."""
-    sh = shingle_table(df, id_col, text_col, ngram, local_distinct=False)
+    measured alternatives (k min-aggregate columns + stack unpivot ran
+    5x slower; k min-aggs with direct band-sig projection 1.6x slower;
+    array_min over a transform 3.7x slower — PLANS.md ledger). The whole
+    shingle->hash->partial-agg pipeline is ONE codegen stage off the
+    (repartitioned-if-tiny) document scan: zero shingle-row shuffles."""
+    sh = _char_ngrams_rows(_spread_small_scan(df), id_col, text_col, ngram)
     seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("h")
     exploded = sh.select("id", "shingle", seeds)
     hv = md5_long(F.concat_ws("#", F.col("h").cast("string"), F.col("shingle")))
