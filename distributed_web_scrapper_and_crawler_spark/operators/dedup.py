@@ -211,7 +211,9 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     """SimHash fingerprint: per bit b, sign of sum over tokens of
     (+1 if md5_long(token) has bit b else -1); token multiplicity counts.
     Returns (id, simhash int)."""
-    toks = df.select(F.col(id_col).alias("id"), F.explode(tokens_ws(text_col)).alias("tok"))
+    toks = _spread_small_scan(df).select(
+        F.col(id_col).alias("id"), F.explode(tokens_ws(text_col)).alias("tok")
+    )
     hv = toks.withColumn("hv", md5_long(F.col("tok")))
     bit_sums = [
         F.sum(
