@@ -207,3 +207,48 @@ def test_search_ranked_empty_query_returns_empty(spark):
     assert res.columns == ["doc_id", "score"]
     assert res.count() == 0
     assert "LIMIT 0" in _search_ranked_sql([])
+
+
+def test_codegen_shingling_matches_char_ngrams(spark):
+    """The round-5 explode(sequence)+substr shingling must emit exactly the
+    rows explode(char_ngrams) emits — including the short-string (< n) and
+    exactly-n edge cases and multi-byte text (substr is char-based)."""
+    from distributed_web_scrapper_and_crawler_spark.functions.text import char_ngrams
+
+    df = _docs(
+        spark,
+        [(1, "abcdefghij"), (2, "short"), (3, "exactly8"), (4, "héllo wörld ünïcode"), (5, "x")],
+    )
+    old = df.select(
+        F.col("doc_id").alias("id"), F.explode(char_ngrams("text", 8)).alias("shingle")
+    )
+    new = dedup._char_ngrams_rows(df, "doc_id", "text", 8)
+    assert sorted(map(tuple, old.collect())) == sorted(map(tuple, new.collect()))
+
+
+def test_minhash_multiset_invariance(spark):
+    """minhash dropped the shingle distinct in round 5: min over a multiset
+    equals min over the set. Pin that with heavily self-repeating text vs
+    its distinct-shingle reference computation."""
+    from distributed_web_scrapper_and_crawler_spark.functions.text import md5_long
+
+    df = _docs(spark, [(1, "abcabcabcabcabcabcabcabc"), (2, "xyxyxyxyxyxyxyxyxyxyxyxy")])
+    mh = dedup.minhash_table(df, "doc_id", "text", n_hashes=8, ngram=8)
+    ref = (
+        dedup.shingle_table(df, "doc_id", "text", 8, local_distinct=False)
+        .select("id", "shingle", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("h"))
+        .withColumn("hv", md5_long(F.concat_ws("#", F.col("h").cast("string"), F.col("shingle"))))
+        .groupBy("id", "h")
+        .agg(F.min("hv").alias("minhash"))
+    )
+    assert sorted(map(tuple, mh.collect())) == sorted(map(tuple, ref.collect()))
+
+
+def test_spread_small_scan_guard(spark):
+    """Single-partition inputs are repartitioned to defaultParallelism;
+    already-parallel inputs pass through without an added exchange."""
+    tiny = spark.range(100).coalesce(1).withColumn("text", F.lit("abcdefghijkl"))
+    spread = dedup._spread_small_scan(tiny)
+    assert spread.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    wide = spark.range(1000).repartition(spark.sparkContext.defaultParallelism + 3)
+    assert dedup._spread_small_scan(wide) is wide
