@@ -370,7 +370,12 @@ def canon_links_doc_udf(parity: bool = True, include_path: bool = True):
 
     @F.pandas_udf(schema)
     def _canon(base: pd.Series, hrefs: pd.Series) -> pd.DataFrame:
-        counts = np.fromiter((len(h) for h in hrefs), dtype=np.int64, count=len(hrefs))
+        # null hrefs arrays (e.g. a null spans column upstream) count as 0
+        # links: the flat kernel's posexplode drops such rows, so emitting
+        # an empty array keeps the two kernels equal (ADVICE r5 medium)
+        counts = np.fromiter(
+            (0 if h is None else len(h) for h in hrefs), dtype=np.int64, count=len(hrefs)
+        )
         total = int(counts.sum())
         if total == 0:
             empty = [[] for _ in range(len(base))]
@@ -379,7 +384,11 @@ def canon_links_doc_udf(parity: bool = True, include_path: bool = True):
                 out["paths"] = list(empty)
             return pd.DataFrame(out, index=base.index)
         flat_base = pd.Series(np.repeat(base.to_numpy(), counts))
-        flat_href = pd.Series(np.concatenate([np.asarray(h, dtype=object) for h in hrefs]))
+        flat_href = pd.Series(
+            np.concatenate(
+                [np.asarray(h, dtype=object) for h in hrefs if h is not None and len(h)]
+            )
+        )
         flat = _canon_links_pd(flat_base, flat_href, parity)
         # np.split at the doc boundaries: each chunk is an object-pointer
         # view, which Arrow accepts as a list element directly

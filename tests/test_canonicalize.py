@@ -330,8 +330,12 @@ def test_doc_kernel_matches_flat_kernel(spark):
     )
 
     # one "document" per base carrying the whole href zoo, plus a 0-link doc
+    # and a NULL-array doc (a null spans column upstream yields hrefs=NULL;
+    # the kernel must emit empty arrays, matching the flat kernel's
+    # posexplode drop, not kill the Python worker — ADVICE r5 medium)
     docs = [(b, list(_HREF_CASES)) for b in _BASE_CASES]
     docs.append(("http://empty.example.test/", []))
+    docs.append(("http://nullspans.example.test/", None))
     df = spark.createDataFrame(docs, "b string, hs array<string>").coalesce(2)
     for parity in (True, False):
         for include_path in (True, False):
@@ -341,6 +345,7 @@ def test_doc_kernel_matches_flat_kernel(spark):
                 for r in df.withColumn("_c", udf(F.col("b"), F.col("hs"))).collect()
             }
             for b, hs in docs:
+                hs = hs or []  # null array ≡ zero links (flat-kernel drop)
                 want = _canon_links_pd(
                     pd.Series([b] * len(hs)), pd.Series(list(hs)), parity
                 )
