@@ -353,12 +353,32 @@ def hyperplane_sig_sql(vec_expr: str, n_planes: int) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def _resolve_n_planes(
+    emb: DataFrame, n_planes: int | None, corpus_count: int | None, default_min: int
+) -> int:
+    """Adaptive-by-default plane resolution shared by the LSH entry points
+    (VERDICT r5 #6). Explicit ``n_planes`` wins verbatim when no count
+    hint accompanies it (the zero-job override); otherwise the plane
+    count is derived from ``corpus_count`` — falling back to one cheap
+    ``emb.count()`` job when no hint is given — so the 10^10 occupancy
+    guard (adaptive_n_planes) is automatic, not advisory. An explicit
+    ``n_planes`` combined with a count hint keeps its historical floor
+    semantics: adaptive, never fewer planes than asked for."""
+    if n_planes is not None and corpus_count is None:
+        return n_planes
+    if corpus_count is None:
+        corpus_count = emb.count()
+    return adaptive_n_planes(
+        corpus_count, min_planes=default_min if n_planes is None else n_planes
+    )
+
+
 def lsh_near_dup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     round_to: int = 4,
     corpus_count: int | None = None,
 ) -> DataFrame:
@@ -368,27 +388,32 @@ def lsh_near_dup_pairs(
     Candidate pairs share all ``n_planes`` signature bits; expected
     candidate mass is ~n²/2^planes, and per-pair recall is
     (1 - theta/pi)^planes (theta = arccos(threshold)) — e.g. ~0.93 for
-    cosine 0.95 at 8 planes. The default n_planes=8 is sized for the
-    sf0.1 corpus; pass ``corpus_count`` to derive it via
-    ``adaptive_n_planes`` (never fewer than the explicit n_planes), which
-    keeps expected bucket occupancy — and so candidate-pair mass —
-    bounded as the corpus grows. The signature is deterministic md5 math,
-    so a SQL oracle can reproduce the EXACT same candidates: the
-    operator's approximation is part of its contract, not drift.
+    cosine 0.95 at 8 planes. Plane count is ADAPTIVE BY DEFAULT
+    (VERDICT r5 #6): leave ``n_planes=None`` and it derives from
+    ``corpus_count`` — or one cheap ``emb.count()`` job when no hint is
+    given — via ``adaptive_n_planes`` (floor 8), keeping expected bucket
+    occupancy and so candidate-pair mass bounded as the corpus grows
+    (10^10 rows → 24 planes). Pass an explicit ``n_planes`` to pin it
+    (needed when a static SQL oracle must reproduce the buckets). The
+    signature is deterministic md5 math, so a SQL oracle can reproduce
+    the EXACT same candidates: the operator's approximation is part of
+    its contract, not drift. The resolved count is exposed on the result
+    as ``_lsh_n_planes``.
     """
-    if corpus_count is not None:
-        n_planes = adaptive_n_planes(corpus_count, min_planes=n_planes)
+    n_planes = _resolve_n_planes(emb, n_planes, corpus_count, default_min=8)
     sig = _hyperplane_sig(vec_col, n_planes)
     s = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sig.alias("bucket"))
     l = s.select(F.col("id").alias("a"), F.col("v").alias("va"), "bucket")
     r = s.select(F.col("id").alias("b"), F.col("v").alias("vb"), "bucket")
-    return (
+    res = (
         l.join(r, "bucket")
         .filter(F.col("a") < F.col("b"))
         .withColumn("score", F.round(cosine_expr("va", "vb"), round_to))
         .filter(F.col("score") >= threshold)
         .select("a", "b", "score")
     )
+    res._lsh_n_planes = n_planes
+    return res
 
 
 def lsh_ann_topk(
@@ -397,7 +422,7 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     round_to: int = 4,
     n_probe: int = 1,
     corpus_count: int | None = None,
@@ -413,13 +438,16 @@ def lsh_ann_topk(
     the query vector sits closest to, i.e. the bits most likely to differ
     from a true near neighbor's signature — the classic multi-probe LSH
     ordering. Candidate mass grows linearly in n_probe while staying
-    ~n/2^planes per probe. Pass ``corpus_count`` to derive n_planes via
-    ``adaptive_n_planes`` (never fewer than the explicit n_planes). The
-    signature is computed once per side; the join is a plain equi-join on
-    the bucket id — shuffle-partitioned, skew handled by AQE.
+    ~n/2^planes per probe. Plane count is ADAPTIVE BY DEFAULT (VERDICT
+    r5 #6): ``n_planes=None`` derives it from ``corpus_count`` (or one
+    ``emb.count()`` job) via ``adaptive_n_planes`` with floor 4; an
+    explicit ``n_planes`` pins it for static oracles, and explicit +
+    count hint keeps the historical floor semantics. The signature is
+    computed once per side; the join is a plain equi-join on the bucket
+    id — shuffle-partitioned, skew handled by AQE. The resolved count is
+    exposed on the result as ``_lsh_n_planes``.
     """
-    if corpus_count is not None:
-        n_planes = adaptive_n_planes(corpus_count, min_planes=n_planes)
+    n_planes = _resolve_n_planes(emb, n_planes, corpus_count, default_min=4)
     sig = _hyperplane_sig(vec_col, n_planes)
     c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), sig.alias("bucket"))
     if n_probe <= 1:
@@ -452,11 +480,13 @@ def lsh_ann_topk(
         .withColumn("score", F.round(cosine_expr("q_vec", "c_vec"), round_to))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return (
+    res = (
         scored.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= k)
         .select("q_id", "neighbor_id", "score", F.col("_rk").alias("rank"))
     )
+    res._lsh_n_planes = n_planes
+    return res
 
 
 def multiprobe_topk_sql(
