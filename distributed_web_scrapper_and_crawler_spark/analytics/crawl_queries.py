@@ -1,25 +1,46 @@
 """Crawl-engine queries for the driver contract.
 
 These exercise the actual frontier engine (rounds, dedup, scheduling)
-on a deterministic mini-corpus generated in-process — independent of
-sf_dir, since the crawl corpus is the interleaved-span table of
-FIXTURES.md §1, not the flat testdata ``documents``. Iterative
-multi-round crawls aren't single SQL statements => no oracle_sql
-(driver records rows-only checks); the REAL correctness gate for these
-is tests/test_crawl_parity.py against the serial reference oracle.
+on a deterministic mini-corpus — independent of sf_dir, since the crawl
+corpus is the interleaved-span table of FIXTURES.md §1, not the flat
+testdata ``documents``. Full-drain iterative crawls aren't single SQL
+statements => no oracle_sql for those (driver records rows-only checks;
+their REAL gate is tests/test_crawl_parity.py against the serial
+reference oracle). ``crawl_claim_order`` however IS triple-checkable
+(VERDICT r5 #3): a BOUNDED parity crawl — 3 FIFO rounds at budget 8 over
+the committed fixture parquet — unrolls into chained DuckDB CTEs (claim
+= top-N by seq, link explode = span unnest + the three kind/depth rules,
+parity canonicalization = urljoin for root-relative hrefs + query/
+fragment strip, dedup = first-discovery window + anti-join on the
+enqueued set, seq = dense rank from the max_seq watermark), so the
+driver's row-count + schema + value-hash gate covers the crawl kernel
+end-to-end, not just the analytics tables.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import functions as F
 
 from distributed_web_scrapper_and_crawler_spark.analytics.queries import q
 from distributed_web_scrapper_and_crawler_spark.config import CorpusSpec, CrawlConfig
 from distributed_web_scrapper_and_crawler_spark.plans.crawl import CrawlEngine
-from distributed_web_scrapper_and_crawler_spark.sources.corpus import corpus_df
+from distributed_web_scrapper_and_crawler_spark.sources.corpus import corpus_df, read_corpus
 
 _SPEC = CorpusSpec(seed=11, n_hosts=3, docs_per_host=6, links_per_doc=4)
 _SEEDS = [f"http://{_SPEC.hosts[0]}/page/0"]
+
+# committed parquet of generate_corpus(_SPEC) — the one corpus BOTH the
+# Spark engine and the DuckDB oracle read (tools/make_crawl_fixture.py)
+_FIXTURE = os.path.normpath(
+    os.path.join(os.path.dirname(__file__), "..", "..", "fixtures", "crawl_mini_corpus.parquet")
+)
+# second seed targets a page absent from the corpus: exercises the
+# failed-fetch branch (left-join miss -> status='failed', no links)
+_FIFO_SEEDS = [f"http://{_SPEC.hosts[0]}/page/0", f"http://{_SPEC.hosts[0]}/page/999"]
+_FIFO_BUDGET = 8
+_FIFO_ROUNDS = 3
 
 
 def _run_crawl(spark, parity=True, max_rounds=None, **cfg_kw):
@@ -30,19 +51,122 @@ def _run_crawl(spark, parity=True, max_rounds=None, **cfg_kw):
     return eng
 
 
+def _fifo_oracle_sql(seeds: list[str], budget: int, rounds: int, corpus_path: str) -> str:
+    """Chained-CTE DuckDB twin of a bounded parity crawl (VERDICT r5 #3).
+
+    One CTE block per scheduling round, mirroring plans/round.py exactly:
+
+    - claim: ``ORDER BY seq LIMIT budget`` == claim_batch's parity path
+      (plans/politeness.py:49-50, the reference's global FIFO,
+      server.py:416-434);
+    - fetch: LEFT JOIN corpus on url = doc_id — hit rows complete, miss
+      rows fail (plans/round.py:125-135);
+    - links: unnest link spans, pos = rank by offset among link spans,
+      depth+1 only for link_book (plans/round.py:151-247; reference
+      remote_worker.py:220/236/252);
+    - parity canonicalization: urljoin (absolute hrefs pass through,
+      root-relative hrefs join the base origin — the only relative form
+      the generator emits) then strip query+fragment
+      (functions/canonicalize.py normalize_url_py,
+      distributed_crawler.py:75-78);
+    - allow-filter: case-sensitive netloc substring
+      (distributed_crawler.py:67-73);
+    - dedup: first discovery wins (min (parent_seq, pos) per url), then
+      anti-join against the enqueued-ever set (plans/round.py:249-312);
+    - seq: dense rank in (parent_seq, pos) order from the max_seq
+      watermark (plans/seq.py).
+    """
+    seed_vals = ", ".join(f"('{u}', CAST({i} AS BIGINT))" for i, u in enumerate(seeds))
+    sql = [
+        f"WITH corpus AS (SELECT doc_id, spans FROM read_parquet('{corpus_path}')),",
+        f"seeds(url, seq) AS (VALUES {seed_vals}),",
+        "pend0 AS (SELECT url, seq, CAST(0 AS BIGINT) AS depth,"
+        " CAST(0 AS BIGINT) AS discovered_round FROM seeds),",
+        "enq0 AS (SELECT url, seq, depth, discovered_round FROM pend0),",
+    ]
+    for r in range(rounds):
+        sql.append(
+            f"""
+claim{r} AS (SELECT * FROM pend{r} ORDER BY seq LIMIT {budget}),
+fet{r} AS (SELECT c.url, c.seq, c.depth, c.discovered_round, d.spans,
+                  d.doc_id IS NOT NULL AS hit
+           FROM claim{r} c LEFT JOIN corpus d ON d.doc_id = c.url),
+done{r} AS (SELECT url, seq, depth, discovered_round,
+                   CAST({r} AS BIGINT) AS completed_round,
+                   CASE WHEN hit THEN 'completed' ELSE 'failed' END AS status
+            FROM fet{r}),
+ls{r} AS (SELECT seq AS parent_seq, depth AS parent_depth, url AS base,
+                 unnest(spans) AS s
+          FROM fet{r} WHERE hit),
+lk{r} AS (SELECT parent_seq, parent_depth, base, s.kind AS kind,
+                 s.text AS href, s."offset" AS off
+          FROM ls{r}
+          WHERE s.kind IN ('link_book', 'link_next', 'link_cat')),
+lp{r} AS (SELECT *, row_number() OVER (PARTITION BY parent_seq ORDER BY off) - 1 AS pos
+          FROM lk{r}),
+cn{r} AS (SELECT parent_seq, pos,
+                 parent_depth + CASE WHEN kind = 'link_book' THEN 1 ELSE 0 END AS depth,
+                 CASE WHEN href LIKE 'http://%' OR href LIKE 'https://%'
+                      THEN regexp_extract(href, '^[^?#]*')
+                      ELSE regexp_extract(base, '^(https?://[^/?#]*)', 1)
+                           || regexp_extract(href, '^[^?#]*')
+                 END AS url
+          FROM lp{r}),
+al{r} AS (SELECT * FROM cn{r}
+          WHERE contains(regexp_extract(url, '^https?://([^/?#]*)', 1), 'example.test')),
+dd{r} AS (SELECT url, depth, parent_seq, pos FROM (
+            SELECT *, row_number() OVER (PARTITION BY url ORDER BY parent_seq, pos) AS rn
+            FROM al{r}) WHERE rn = 1),
+nw{r} AS (SELECT d.* FROM dd{r} d
+          WHERE NOT EXISTS (SELECT 1 FROM enq{r} e WHERE e.url = d.url)),
+sq{r} AS (SELECT url, CAST(depth AS BIGINT) AS depth,
+                 (SELECT max(seq) + 1 FROM enq{r})
+                   + row_number() OVER (ORDER BY parent_seq, pos) - 1 AS seq,
+                 CAST({r} AS BIGINT) AS discovered_round
+          FROM nw{r}),
+enq{r + 1} AS (SELECT url, seq, depth, discovered_round FROM enq{r}
+               UNION ALL SELECT url, seq, depth, discovered_round FROM sq{r}),
+pend{r + 1} AS (SELECT p.url, p.seq, p.depth, p.discovered_round FROM pend{r} p
+                WHERE NOT EXISTS (SELECT 1 FROM claim{r} c WHERE c.url = p.url)
+                UNION ALL SELECT url, seq, depth, discovered_round FROM sq{r}),"""
+        )
+    done_union = " UNION ALL ".join(f"SELECT * FROM done{r}" for r in range(rounds))
+    sql.append(
+        f"alldone AS ({done_union}) "
+        "SELECT url, seq, depth, discovered_round, completed_round, status "
+        "FROM alldone ORDER BY seq, completed_round"
+    )
+    return "\n".join(sql)
+
+
 @q("crawl_seen_set", None, doc="full crawl: URL-seen membership (parity-tested vs oracle)")
 def crawl_seen_set(spark, sf_dir):
     eng = _run_crawl(spark)
     return eng.state.seen.select("url", "round").orderBy("url")
 
 
-@q("crawl_claim_order", None, doc="full crawl: deterministic global FIFO claim order")
+@q(
+    "crawl_claim_order",
+    _fifo_oracle_sql(_FIFO_SEEDS, _FIFO_BUDGET, _FIFO_ROUNDS, _FIXTURE),
+    doc="bounded parity crawl (3 FIFO rounds, budget 8, one missing-page seed) "
+    "on the committed fixture corpus: claim order, fetch failure, kind/depth "
+    "rules, dedup + seq — full chained-CTE DuckDB oracle (VERDICT r5 #3); "
+    "full-drain claim order stays parity-gated in tests/test_crawl_parity.py",
+)
 def crawl_claim_order(spark, sf_dir):
-    eng = _run_crawl(spark)
+    cfg = CrawlConfig(parity_mode=True, round_budget=_FIFO_BUDGET)
+    eng = CrawlEngine(spark=spark, corpus=read_corpus(spark, _FIXTURE), cfg=cfg)
+    eng.seed(_FIFO_SEEDS)
+    eng.run(max_rounds=_FIFO_ROUNDS)
     return (
-        eng.state.done.filter(F.col("status") == "completed")
-        .select("url", "seq", "completed_round")
-        .orderBy("completed_round", "seq")
+        eng.state.done.select(
+            "url",
+            F.col("seq").cast("long").alias("seq"),
+            F.col("depth").cast("long").alias("depth"),
+            F.col("discovered_round").cast("long").alias("discovered_round"),
+            F.col("completed_round").cast("long").alias("completed_round"),
+            "status",
+        ).orderBy("seq", "completed_round")
     )
 
 

@@ -66,6 +66,29 @@ def test_budget_overflow_raises(monkeypatch):
         e.queries()
 
 
+def test_crawl_claim_order_matches_duckdb_oracle(spark):
+    """VERDICT r5 #3: the bounded parity crawl is the ONE crawl entry with
+    a full DuckDB oracle (chained per-round CTEs over the committed
+    fixture corpus). Pin the driver's gate in the suite so a kernel or
+    fixture drift fails here, not only in CORRECTNESS_r{N}.json."""
+    duckdb = pytest.importorskip("duckdb")
+    from distributed_web_scrapper_and_crawler_spark.analytics.crawl_queries import _FIXTURE
+
+    assert os.path.exists(_FIXTURE), "committed mini-corpus fixture missing"
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    from selfcheck import normalize
+
+    spec = QUERY_REGISTRY["crawl_claim_order"]
+    assert spec.sql is not None and not spec.pytest_gated
+    a = normalize(spec.fn(spark, SF_DIR).toPandas())
+    b = normalize(duckdb.connect().execute(spec.sql).fetchdf())
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b) and len(a) > 0
+    # both seed outcomes present: a completed fetch and a corpus miss
+    assert set(a["status"]) == {"completed", "failed"}
+    assert a.equals(b), "bounded FIFO crawl diverged from its DuckDB oracle"
+
+
 @pytest.mark.parametrize("name", sorted(GATED))
 def test_gated_query_matches_oracle(spark, name):
     """The driver-identical gate, run on exactly the entries the driver no
