@@ -74,6 +74,10 @@ def run_level(cpus: int, n_docs: int) -> dict:
         # the taskset mask (session.py)
         SPARK_GRAFT_GC_THREADS=str(cpus),
     )
+    # the printed line is compact since round 6 (VERDICT r5 #1); the full
+    # crawl record (incl. per-phase timings) lives in the detail side file
+    detail_path = f"/tmp/dwsc_scaling_detail_{cpus}_{os.getpid()}.json"
+    env["SPARK_GRAFT_DETAIL_PATH"] = detail_path
     # taskset: local[N] only caps TASK SLOTS — Python UDF workers, GC,
     # JIT and shuffle threads would otherwise spill onto the machine's
     # other idle cores and hand the low level free parallelism. Pinning
@@ -87,8 +91,12 @@ def run_level(cpus: int, n_docs: int) -> dict:
         text=True,
         timeout=3600,
     )
-    line = out.stdout.strip().splitlines()[-1]
-    return json.loads(line)["crawl"]
+    try:
+        with open(detail_path) as f:
+            return json.load(f)["crawl_best"]
+    except (OSError, KeyError, ValueError):
+        line = out.stdout.strip().splitlines()[-1]
+        return json.loads(line)["crawl"]
 
 
 def run_level_best_of(cpus: int, n_docs: int, n_runs: int) -> tuple[dict, list[dict]]:
