@@ -121,8 +121,13 @@ def run_level_best_of(cpus: int, n_docs: int, n_runs: int) -> tuple[dict, list[d
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
     out_md = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "BENCH.md")
-    # N=2 vs 4N=8, pinned (the single protocol — see module docstring)
-    lo, hi = 2, 8
+    # N=2 vs 4N=8, pinned (the single protocol — see module docstring).
+    # SPARK_GRAFT_SCALING_LO/HI override for DIAGNOSTIC pairs only (e.g.
+    # 1v4 probes the shared-socket bandwidth ceiling: the 4-core upper
+    # level has 2x the per-core bandwidth of the 8-core one); the
+    # published protocol pair stays 2v8.
+    lo = int(os.environ.get("SPARK_GRAFT_SCALING_LO", "2"))
+    hi = int(os.environ.get("SPARK_GRAFT_SCALING_HI", "8"))
     n_runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))
     r_lo, runs_lo = run_level_best_of(lo, n_docs, n_runs)
     r_hi, runs_hi = run_level_best_of(hi, n_docs, n_runs)
