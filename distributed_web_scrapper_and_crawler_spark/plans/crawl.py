@@ -311,8 +311,11 @@ class CrawlEngine:
             import time as _time
 
             _t = _time.monotonic()
+            _t_abs = _time.time()
             self._materialize(res)
             res.stats.setdefault("phases", {})["materialize"] = round(_time.monotonic() - _t, 3)
+            if os.environ.get("DWSC_PHASE_ABS"):
+                res.stats.setdefault("phases_abs", {})["materialize"] = (_t_abs, _time.time())
             self.round_stats.append(res.stats)
             rounds_done += 1
         # with checkpoint_every > 1 the run may stop between durable rounds;

@@ -31,6 +31,7 @@ Scale notes (the 100 TB design points):
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 
@@ -83,9 +84,17 @@ def run_round(
 
     round_broadcasts: list = []  # per-round shard broadcasts (released with caches)
     phase_t: dict[str, float] = {}
+    # diagnostic: absolute (epoch) phase windows so tools/phase_diag.py can
+    # intersect them with the Spark REST API's job intervals and attribute
+    # each phase's wall to "job running" vs "driver gap" (serial time)
+    phase_abs: dict[str, tuple[float, float]] = {}
+    _abs = bool(os.environ.get("DWSC_PHASE_ABS"))
 
     def _mark(name: str, t_start: float) -> None:
-        phase_t[name] = round(time.monotonic() - t_start, 3)
+        now = time.monotonic()
+        phase_t[name] = round(now - t_start, 3)
+        if _abs:
+            phase_abs[name] = (time.time() - (now - t_start), time.time())
 
     # exact pending_count is tracked arithmetically — drain detection is
     # free, no claim job needed to discover an empty frontier
@@ -368,6 +377,7 @@ def run_round(
         "dedup_hits": (n_links - n_new) if cfg.collect_stats else -1,
         "wall_ms": wall_ms,
         "phases": phase_t,
+        **({"phases_abs": phase_abs} if _abs else {}),
     }
     # uncollected stats persist as NULLs, never sentinels — a downstream
     # sum()/avg() over the metrics table must skip them, not mis-sum -1s
