@@ -287,12 +287,47 @@ def main() -> None:
         sf_val = sf
     steal_total = _steal_delta(steal_start, _steal_ticks())
     bench_wall = round(time.monotonic() - t_start, 1)
-    # COMPACT one-line artifact (VERDICT r5 #1: the r5 line carried every
-    # crawl attempt + per-query steal and overflowed the driver's tail
-    # capture → BENCH_r05.json parsed:null). The printed line keeps the
-    # headline totals, the KEPT crawl run (with its steal + gate outcome)
-    # and the aggregate steal; the full per-attempt / per-query-steal
-    # detail goes to a side file the line points at.
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_DETAIL_PATH",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL_last.json"),
+    )
+    result, detail = compose_artifacts(
+        queries, queries_steal, crawl, crawl_attempts,
+        cpus=cpus, sf_val=sf_val, steal_total=steal_total,
+        bench_wall=bench_wall, quiet_wait_s=quiet_wait_s,
+        detail_path=detail_path,
+    )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        result["detail_file"] = None  # read-only checkout: the line stands alone
+    print(json.dumps(result))
+
+
+def compose_artifacts(
+    queries: dict,
+    queries_steal: dict,
+    crawl: dict,
+    crawl_attempts: list,
+    *,
+    cpus: int,
+    sf_val,
+    steal_total,
+    bench_wall: float,
+    quiet_wait_s: int,
+    detail_path: str | None,
+) -> tuple[dict, dict]:
+    """(printed one-line result, side-file detail) — split so the size
+    contract is unit-testable.
+
+    COMPACT one-line artifact (VERDICT r5 #1: the r5 line carried every
+    crawl attempt + per-query steal and overflowed the driver's 2000-byte
+    tail capture → BENCH_r05.json parsed:null). The printed line keeps the
+    headline totals, the KEPT crawl run (with its steal + gate outcome)
+    and the aggregate steal; the full per-attempt / per-query-steal detail
+    goes to a side file the line points at. tests/test_bench_artifact.py
+    pins the line under the capture window with representative inputs."""
     crawl_compact = {
         k: crawl[k]
         for k in (
@@ -303,10 +338,6 @@ def main() -> None:
     }
     if "quiet_gate" in crawl:
         crawl_compact["quiet"] = crawl["quiet_gate"].get("quiet")
-    detail_path = os.environ.get(
-        "SPARK_GRAFT_DETAIL_PATH",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL_last.json"),
-    )
     detail = {
         "queries": queries,
         "queries_steal": queries_steal,
@@ -321,11 +352,6 @@ def main() -> None:
             "quiet_gate_max_wait_s": quiet_wait_s,
         },
     }
-    try:
-        with open(detail_path, "w") as f:
-            json.dump(detail, f, indent=1)
-    except OSError:
-        detail_path = None  # read-only checkout: the compact line stands alone
     result = {
         "metric": "headline_queries_total_plus_crawl",
         "value": round(sum(queries.values()), 3),
@@ -341,7 +367,7 @@ def main() -> None:
                   "queries_section": queries_steal.get("_section_total")},
         "detail_file": detail_path,
     }
-    print(json.dumps(result))
+    return result, detail
 
 
 if __name__ == "__main__":
