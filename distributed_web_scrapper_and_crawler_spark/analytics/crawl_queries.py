@@ -6,15 +6,17 @@ corpus is the interleaved-span table of FIXTURES.md §1, not the flat
 testdata ``documents``. Full-drain iterative crawls aren't single SQL
 statements => no oracle_sql for those (driver records rows-only checks;
 their REAL gate is tests/test_crawl_parity.py against the serial
-reference oracle). ``crawl_claim_order`` however IS triple-checkable
-(VERDICT r5 #3): a BOUNDED parity crawl — 3 FIFO rounds at budget 8 over
-the committed fixture parquet — unrolls into chained DuckDB CTEs (claim
-= top-N by seq, link explode = span unnest + the three kind/depth rules,
-parity canonicalization = urljoin for root-relative hrefs + query/
-fragment strip, dedup = first-discovery window + anti-join on the
-enqueued set, seq = dense rank from the max_seq watermark), so the
+reference oracle). ``crawl_claim_order`` and ``crawl_pages_extracted``
+however ARE triple-checkable (VERDICT r5 #3): a BOUNDED parity crawl —
+3 FIFO rounds at budget 8 over the committed fixture parquet — unrolls
+into chained DuckDB CTEs (claim = top-N by seq, link explode = span
+unnest + the three kind/depth rules, parity canonicalization = urljoin
+for root-relative hrefs + query/fragment strip, dedup = first-discovery
+window + anti-join on the enqueued set, seq = dense rank from the
+max_seq watermark), final-selected as the done table (claim order /
+statuses) and as the pages table (marker field extraction), so the
 driver's row-count + schema + value-hash gate covers the crawl kernel
-end-to-end, not just the analytics tables.
+AND the extraction kernel end-to-end, not just the analytics tables.
 """
 
 from __future__ import annotations
@@ -76,6 +78,12 @@ def _fifo_oracle_sql(seeds: list[str], budget: int, rounds: int, corpus_path: st
     - seq: dense rank in (parent_seq, pos) order from the max_seq
       watermark (plans/seq.py).
     """
+    return _fifo_cte_prefix(seeds, budget, rounds, corpus_path) + _fifo_done_select(rounds)
+
+
+def _fifo_cte_prefix(seeds: list[str], budget: int, rounds: int, corpus_path: str) -> str:
+    """The shared chained-CTE round unroll (see _fifo_oracle_sql docstring);
+    callers append a final SELECT over done{r} / fet{r} / enq{r}."""
     seed_vals = ", ".join(f"('{u}', CAST({i} AS BIGINT))" for i, u in enumerate(seeds))
     sql = [
         f"WITH corpus AS (SELECT doc_id, spans FROM read_parquet('{corpus_path}')),",
@@ -130,13 +138,54 @@ pend{r + 1} AS (SELECT p.url, p.seq, p.depth, p.discovered_round FROM pend{r} p
                 WHERE NOT EXISTS (SELECT 1 FROM claim{r} c WHERE c.url = p.url)
                 UNION ALL SELECT url, seq, depth, discovered_round FROM sq{r}),"""
         )
+    return "\n".join(sql)
+
+
+def _fifo_done_select(rounds: int) -> str:
     done_union = " UNION ALL ".join(f"SELECT * FROM done{r}" for r in range(rounds))
-    sql.append(
-        f"alldone AS ({done_union}) "
+    return (
+        f"\nalldone AS ({done_union}) "
         "SELECT url, seq, depth, discovered_round, completed_round, status "
         "FROM alldone ORDER BY seq, completed_round"
     )
-    return "\n".join(sql)
+
+
+def _fifo_pages_oracle_sql(
+    seeds: list[str], budget: int, rounds: int, corpus_path: str, fields: tuple[str, ...]
+) -> str:
+    """Chained-CTE twin of the bounded crawl's PAGES table: the same round
+    unroll, final-selected as field extraction per fetched page.
+
+    Extraction semantics mirrored from operators/extract.py
+    extract_fields_udf (the reference's CSS-selector config,
+    distributed_crawler.py:199-215): a field's value is the FIRST text
+    span in offset order whose payload starts with ``{marker}=``,
+    remainder stripped — expressed as DuckDB ``arg_min(...) FILTER`` over
+    the exploded span rows, left-joined back so pages with no matching
+    span still emit a row with null fields."""
+    pages_union = " UNION ALL ".join(
+        f"SELECT url, CAST(depth AS BIGINT) AS depth, spans FROM fet{r} WHERE hit"
+        for r in range(rounds)
+    )
+    field_aggs = ",\n    ".join(
+        f"arg_min(trim(substr(txt, {len(f) + 2})), off)"
+        f" FILTER (WHERE starts_with(txt, '{f}=')) AS {f}"
+        for f in fields
+    )
+    return (
+        _fifo_cte_prefix(seeds, budget, rounds, corpus_path)
+        + f"""
+allpages AS ({pages_union}),
+sp AS (SELECT url, unnest(spans) AS s FROM allpages),
+tx AS (SELECT url, s.text AS txt, s."offset" AS off FROM sp
+       WHERE s.kind = 'text'),
+flds AS (SELECT url,
+    {field_aggs}
+  FROM tx GROUP BY url)
+SELECT p.url, {", ".join("f." + f for f in fields)}, p.depth
+FROM allpages p LEFT JOIN flds f ON f.url = p.url
+ORDER BY p.url"""
+    )
 
 
 @q("crawl_seen_set", None, doc="full crawl: URL-seen membership (parity-tested vs oracle)")
@@ -170,10 +219,27 @@ def crawl_claim_order(spark, sf_dir):
     )
 
 
-@q("crawl_pages_extracted", None, doc="full crawl: extraction fields per fetched page")
+_PAGE_FIELDS = ("title", "price", "category")
+
+
+@q(
+    "crawl_pages_extracted",
+    _fifo_pages_oracle_sql(_FIFO_SEEDS, _FIFO_BUDGET, _FIFO_ROUNDS, _FIXTURE, _PAGE_FIELDS),
+    doc="bounded parity crawl (same 3 FIFO rounds as crawl_claim_order): "
+    "marker field extraction per fetched page vs a chained-CTE oracle whose "
+    "final select mirrors extract_fields_udf (first text span in offset "
+    "order with '{marker}=' prefix, remainder stripped) — puts the "
+    "extraction kernel in the driver's value-hash gate; full-drain pages "
+    "stay parity-gated (span-sequence equality) in tests/test_crawl_parity.py",
+)
 def crawl_pages_extracted(spark, sf_dir):
-    eng = _run_crawl(spark)
-    return eng.state.pages.select("url", "title", "price", "category", "depth").orderBy("url")
+    cfg = CrawlConfig(parity_mode=True, round_budget=_FIFO_BUDGET)
+    eng = CrawlEngine(spark=spark, corpus=read_corpus(spark, _FIXTURE), cfg=cfg)
+    eng.seed(_FIFO_SEEDS)
+    eng.run(max_rounds=_FIFO_ROUNDS)
+    return eng.state.pages.select(
+        "url", *_PAGE_FIELDS, F.col("depth").cast("long").alias("depth")
+    ).orderBy("url")
 
 
 @q("crawl_production_mode", None, doc="per-host budgets + depth cap + full canonicalization")

@@ -66,11 +66,13 @@ def test_budget_overflow_raises(monkeypatch):
         e.queries()
 
 
-def test_crawl_claim_order_matches_duckdb_oracle(spark):
-    """VERDICT r5 #3: the bounded parity crawl is the ONE crawl entry with
-    a full DuckDB oracle (chained per-round CTEs over the committed
-    fixture corpus). Pin the driver's gate in the suite so a kernel or
-    fixture drift fails here, not only in CORRECTNESS_r{N}.json."""
+@pytest.mark.parametrize("name", ["crawl_claim_order", "crawl_pages_extracted"])
+def test_bounded_crawl_matches_duckdb_oracle(spark, name):
+    """VERDICT r5 #3: the bounded parity crawl entries carry full DuckDB
+    oracles (chained per-round CTEs over the committed fixture corpus;
+    claim order/statuses and marker field extraction). Pin the driver's
+    gate in the suite so a kernel or fixture drift fails here, not only
+    in CORRECTNESS_r{N}.json."""
     duckdb = pytest.importorskip("duckdb")
     from distributed_web_scrapper_and_crawler_spark.analytics.crawl_queries import _FIXTURE
 
@@ -78,14 +80,18 @@ def test_crawl_claim_order_matches_duckdb_oracle(spark):
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
     from selfcheck import normalize
 
-    spec = QUERY_REGISTRY["crawl_claim_order"]
+    spec = QUERY_REGISTRY[name]
     assert spec.sql is not None and not spec.pytest_gated
     a = normalize(spec.fn(spark, SF_DIR).toPandas())
     b = normalize(duckdb.connect().execute(spec.sql).fetchdf())
     assert list(a.columns) == list(b.columns)
     assert len(a) == len(b) and len(a) > 0
-    # both seed outcomes present: a completed fetch and a corpus miss
-    assert set(a["status"]) == {"completed", "failed"}
+    if name == "crawl_claim_order":
+        # both seed outcomes present: a completed fetch and a corpus miss
+        assert set(a["status"]) == {"completed", "failed"}
+    else:
+        # extraction really extracted something on this corpus
+        assert a["title"].notna().any()
     assert a.equals(b), "bounded FIFO crawl diverged from its DuckDB oracle"
 
 
