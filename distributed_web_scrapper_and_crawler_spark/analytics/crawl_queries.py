@@ -6,17 +6,20 @@ corpus is the interleaved-span table of FIXTURES.md §1, not the flat
 testdata ``documents``. Full-drain iterative crawls aren't single SQL
 statements => no oracle_sql for those (driver records rows-only checks;
 their REAL gate is tests/test_crawl_parity.py against the serial
-reference oracle). ``crawl_claim_order`` and ``crawl_pages_extracted``
-however ARE triple-checkable (VERDICT r5 #3): a BOUNDED parity crawl —
-3 FIFO rounds at budget 8 over the committed fixture parquet — unrolls
-into chained DuckDB CTEs (claim = top-N by seq, link explode = span
-unnest + the three kind/depth rules, parity canonicalization = urljoin
-for root-relative hrefs + query/fragment strip, dedup = first-discovery
+reference oracle). BOUNDED crawls however ARE triple-checkable (VERDICT
+r5 #3): a fixed-round crawl over the committed fixture parquet unrolls
+into chained DuckDB CTEs (claim = top-N by seq or the per-host
+politeness window, link explode = span unnest + the three kind/depth
+rules, canonicalization = urljoin for root-relative hrefs + parity
+strip or full canon with sorted query params, dedup = first-discovery
 window + anti-join on the enqueued set, seq = dense rank from the
-max_seq watermark), final-selected as the done table (claim order /
-statuses) and as the pages table (marker field extraction), so the
-driver's row-count + schema + value-hash gate covers the crawl kernel
-AND the extraction kernel end-to-end, not just the analytics tables.
+max_seq watermark). Three entries use this: ``crawl_claim_order`` (done
+table: claim order/statuses), ``crawl_pages_extracted`` (pages table:
+marker field extraction) and ``crawl_production_mode`` (seen table
+under the production claim window + full canon + depth cap) — so the
+driver's row-count + schema + value-hash gate covers the crawl,
+extraction AND politeness kernels end-to-end, not just the analytics
+tables.
 """
 
 from __future__ import annotations
@@ -188,6 +191,96 @@ ORDER BY p.url"""
     )
 
 
+def _fifo_prod_oracle_sql(
+    seeds: list[str], host_budget: int, rounds: int, max_depth: int, corpus_path: str
+) -> str:
+    """Chained-CTE twin of a bounded PRODUCTION-mode crawl, final-selected
+    as the seen table (successfully fetched url + fetch round).
+
+    Differences from the parity chain, mirroring the engine's production
+    paths:
+
+    - claim: per-host politeness window ``row_number() OVER (PARTITION BY
+      host ORDER BY depth, seq) <= host_budget`` (plans/politeness.py:67-73,
+      salting off) instead of the global FIFO;
+    - canonicalization: FULL canon (functions/canonicalize.py
+      canonicalize_url_py — north rule): fragment stripped, query params
+      SORTED and kept (the generator's only query form is k=v pairs joined
+      by '&', so ``list_sort(string_split(q, '&'))`` is exactly
+      ``urlencode(sorted(parse_qsl(q)))`` here), host lowercased;
+    - depth cap: links filtered to ``depth <= max_depth``
+      (plans/round.py enforce_max_depth);
+    - seen: only fetch HITS enter the seen set, with their fetch round
+      (plans/round.py:353) — query-suffixed canon URLs miss the corpus
+      join and fail, exactly like the engine."""
+    seed_vals = ", ".join(f"('{u}', CAST({i} AS BIGINT))" for i, u in enumerate(seeds))
+    qsort = (
+        "nullif(array_to_string(list_sort(string_split("
+        "regexp_extract(absu, '\\?([^#]*)', 1), '&')), '&'), '')"
+    )
+    sql = [
+        f"WITH corpus AS (SELECT doc_id, spans FROM read_parquet('{corpus_path}')),",
+        f"seeds(url, seq) AS (VALUES {seed_vals}),",
+        "pend0 AS (SELECT url, seq, CAST(0 AS BIGINT) AS depth,"
+        " CAST(0 AS BIGINT) AS discovered_round,"
+        " lower(regexp_extract(url, '^https?://([^/?#]*)', 1)) AS host FROM seeds),",
+        "enq0 AS (SELECT url, seq FROM pend0),",
+    ]
+    for r in range(rounds):
+        sql.append(
+            f"""
+claim{r} AS (SELECT url, seq, depth, discovered_round, host FROM (
+    SELECT *, row_number() OVER (PARTITION BY host ORDER BY depth, seq) AS rk
+    FROM pend{r}) WHERE rk <= {host_budget}),
+fet{r} AS (SELECT c.url, c.seq, c.depth, d.spans, d.doc_id IS NOT NULL AS hit
+           FROM claim{r} c LEFT JOIN corpus d ON d.doc_id = c.url),
+ls{r} AS (SELECT seq AS parent_seq, depth AS parent_depth, url AS base,
+                 unnest(spans) AS s
+          FROM fet{r} WHERE hit),
+lk{r} AS (SELECT parent_seq, parent_depth, base, s.kind AS kind,
+                 s.text AS href, s."offset" AS off
+          FROM ls{r}
+          WHERE s.kind IN ('link_book', 'link_next', 'link_cat')),
+lp{r} AS (SELECT *, row_number() OVER (PARTITION BY parent_seq ORDER BY off) - 1 AS pos
+          FROM lk{r}),
+ab{r} AS (SELECT parent_seq, pos,
+                 parent_depth + CASE WHEN kind = 'link_book' THEN 1 ELSE 0 END AS depth,
+                 CASE WHEN href LIKE 'http://%' OR href LIKE 'https://%' THEN href
+                      ELSE regexp_extract(base, '^(https?://[^/?#]*)', 1) || href
+                 END AS absu
+          FROM lp{r}),
+cn{r} AS (SELECT parent_seq, pos, depth,
+                 regexp_extract(absu, '^[^?#]*')
+                   || coalesce('?' || {qsort}, '') AS url
+          FROM ab{r}),
+al{r} AS (SELECT *, lower(regexp_extract(url, '^https?://([^/?#]*)', 1)) AS host
+          FROM cn{r}
+          WHERE contains(lower(regexp_extract(url, '^https?://([^/?#]*)', 1)),
+                         'example.test')
+            AND depth <= {max_depth}),
+dd{r} AS (SELECT url, depth, host, parent_seq, pos FROM (
+            SELECT *, row_number() OVER (PARTITION BY url ORDER BY parent_seq, pos) AS rn
+            FROM al{r}) WHERE rn = 1),
+nw{r} AS (SELECT d.* FROM dd{r} d
+          WHERE NOT EXISTS (SELECT 1 FROM enq{r} e WHERE e.url = d.url)),
+sq{r} AS (SELECT url, CAST(depth AS BIGINT) AS depth, host,
+                 (SELECT max(seq) + 1 FROM enq{r})
+                   + row_number() OVER (ORDER BY parent_seq, pos) - 1 AS seq,
+                 CAST({r} AS BIGINT) AS discovered_round
+          FROM nw{r}),
+enq{r + 1} AS (SELECT url, seq FROM enq{r} UNION ALL SELECT url, seq FROM sq{r}),
+pend{r + 1} AS (SELECT p.url, p.seq, p.depth, p.discovered_round, p.host FROM pend{r} p
+                WHERE NOT EXISTS (SELECT 1 FROM claim{r} c WHERE c.url = p.url)
+                UNION ALL
+                SELECT url, seq, depth, discovered_round, host FROM sq{r}),"""
+        )
+    seen_union = " UNION ALL ".join(
+        f"SELECT url, CAST({r} AS BIGINT) AS round FROM fet{r} WHERE hit" for r in range(rounds)
+    )
+    sql.append(f"allseen AS ({seen_union}) SELECT url, round FROM allseen ORDER BY url")
+    return "\n".join(sql)
+
+
 @q("crawl_seen_set", None, doc="full crawl: URL-seen membership (parity-tested vs oracle)")
 def crawl_seen_set(spark, sf_dir):
     eng = _run_crawl(spark)
@@ -242,7 +335,29 @@ def crawl_pages_extracted(spark, sf_dir):
     ).orderBy("url")
 
 
-@q("crawl_production_mode", None, doc="per-host budgets + depth cap + full canonicalization")
+_PROD_BUDGET = 4
+_PROD_DEPTH = 2
+
+
+@q(
+    "crawl_production_mode",
+    _fifo_prod_oracle_sql(_FIFO_SEEDS, _PROD_BUDGET, _FIFO_ROUNDS, _PROD_DEPTH, _FIXTURE),
+    doc="bounded PRODUCTION crawl (3 rounds, per-host window budget 4, "
+    "depth cap 2, full canonicalization with sorted query params) on the "
+    "committed fixture: seen-set membership + fetch round vs a chained-CTE "
+    "oracle mirroring the politeness window, full canon and hit-only seen "
+    "semantics; the full-drain production path stays unit/parity-gated",
+)
 def crawl_production_mode(spark, sf_dir):
-    eng = _run_crawl(spark, parity=False, enforce_max_depth=True, max_depth=2, per_host_budget=4)
-    return eng.state.seen.select("url").orderBy("url")
+    cfg = CrawlConfig(
+        parity_mode=False,
+        per_host_budget=_PROD_BUDGET,
+        enforce_max_depth=True,
+        max_depth=_PROD_DEPTH,
+    )
+    eng = CrawlEngine(spark=spark, corpus=read_corpus(spark, _FIXTURE), cfg=cfg)
+    eng.seed(_FIFO_SEEDS)
+    eng.run(max_rounds=_FIFO_ROUNDS)
+    return eng.state.seen.select(
+        "url", F.col("round").cast("long").alias("round")
+    ).orderBy("url")
