@@ -272,9 +272,15 @@ def main() -> None:
     crawl: dict = {}
     crawl_attempts: list[dict] = []
     if mode in ("full", "queries"):
+        # same bounded quiet gate the crawl attempts use: the per-query
+        # min-of-2 shields against short bursts, but a storm outlasting
+        # the whole section (r6 dry run: queries 13.6 s @ 12.9k ticks vs
+        # 9.6 s quiet in r5) needs the section START gated too
+        qgate = wait_for_quiet(quiet_wait_s)
         sq0 = _steal_ticks()
         queries, queries_steal = bench_queries(spark, sf_dir)
         queries_steal["_section_total"] = _steal_delta(sq0, _steal_ticks())
+        queries_steal["_gate"] = qgate
     if mode in ("full", "crawl"):
         crawl, crawl_attempts = bench_crawl_best_of(
             spark, crawl_docs, crawl_runs, quiet_wait_s
@@ -364,7 +370,8 @@ def compose_artifacts(
         # co-tenant during the bench; > ~100/min = wall times storm-inflated
         "steal": {"unit": "ticks_10ms", "total": steal_total,
                   "bench_wall_sec": bench_wall,
-                  "queries_section": queries_steal.get("_section_total")},
+                  "queries_section": queries_steal.get("_section_total"),
+                  "queries_gate_quiet": (queries_steal.get("_gate") or {}).get("quiet")},
         "detail_file": detail_path,
     }
     return result, detail

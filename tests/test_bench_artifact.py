@@ -30,6 +30,7 @@ def _representative_inputs():
     queries = {name: 123.456 for name in HEADLINE}
     queries_steal = {name: 99999 for name in HEADLINE}
     queries_steal["_section_total"] = 9999999
+    queries_steal["_gate"] = {"waited_sec": 300.0, "last_window_ticks": 1234, "quiet": False}
     attempt = {
         "rounds": 4,
         "n_seeds": 266680,
@@ -88,6 +89,7 @@ def test_line_keeps_adjudication_fields():
     # VERDICT r4 #1: the driver-facing artifact itself must carry the
     # interference record — aggregate steal + the kept run's gate outcome.
     assert result["steal"]["total"] == 9999999
+    assert result["steal"]["queries_gate_quiet"] is False
     assert result["crawl"]["steal_ticks"] == 43656
     assert result["crawl"]["quiet"] is False
     assert result["detail_file"].endswith("BENCH_DETAIL_last.json")
