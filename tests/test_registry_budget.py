@@ -123,3 +123,49 @@ def test_gated_query_matches_oracle(spark, name):
     assert list(a.columns) == list(b.columns)
     assert len(a) == len(b)
     assert a.equals(b), f"{name}: value mismatch vs DuckDB oracle"
+
+
+def test_prod_canon_sql_twin_matches_python_canon():
+    """Property-pin the production-mode oracle's canonicalization CTE
+    against functions.canonicalize.canonicalize_url_py over every URL
+    shape the corpus generator emits (absolute / root-relative hrefs,
+    with and without the '?b=2&a=1#frag' suffix, multi-segment paths).
+    The driver's hash gate only covers the committed fixture; this keeps
+    the SQL twin honest if the generator's shapes widen."""
+    duckdb = pytest.importorskip("duckdb")
+    from distributed_web_scrapper_and_crawler_spark.functions.canonicalize import (
+        canonicalize_url_py,
+    )
+
+    bases = [
+        "http://h000.example.test/page/0",
+        "http://h001.example.test/cat/3",
+        "http://h002.example.test/page/12",
+    ]
+    hrefs = []
+    for target in ("/page/5", "/cat/0", "http://h001.example.test/page/7"):
+        for suffix in ("", "?b=2&a=1#frag"):
+            hrefs.append(target + suffix)
+    rows = [(b, h) for b in bases for h in hrefs]
+
+    # the oracle's ab{r} -> cn{r} expressions, verbatim shapes
+    qsort = (
+        "nullif(array_to_string(list_sort(string_split("
+        "regexp_extract(absu, '\\?([^#]*)', 1), '&')), '&'), '')"
+    )
+    sql = f"""
+    WITH inp(base, href) AS (VALUES {', '.join(f"('{b}', '{h}')" for b, h in rows)}),
+    ab AS (SELECT base, href,
+        CASE WHEN href LIKE 'http://%' OR href LIKE 'https://%' THEN href
+             ELSE regexp_extract(base, '^(https?://[^/?#]*)', 1) || href END AS absu
+        FROM inp)
+    SELECT base, href,
+           regexp_extract(absu, '^[^?#]*') || coalesce('?' || {qsort}, '') AS url
+    FROM ab
+    """
+    got = duckdb.connect().execute(sql).fetchall()
+    from urllib.parse import urljoin
+
+    for base, href, sql_url in got:
+        py_url = canonicalize_url_py(urljoin(base, href))
+        assert sql_url == py_url, (base, href, sql_url, py_url)
