@@ -275,8 +275,10 @@ def main() -> None:
         # same bounded quiet gate the crawl attempts use: the per-query
         # min-of-2 shields against short bursts, but a storm outlasting
         # the whole section (r6 dry run: queries 13.6 s @ 12.9k ticks vs
-        # 9.6 s quiet in r5) needs the section START gated too
-        qgate = wait_for_quiet(quiet_wait_s)
+        # 9.6 s quiet in r5) needs the section START gated too. Capped
+        # below the crawl gates: the section is min-of-2-shielded, so a
+        # long wait buys less here than total-runtime headroom costs.
+        qgate = wait_for_quiet(min(quiet_wait_s, 120))
         sq0 = _steal_ticks()
         queries, queries_steal = bench_queries(spark, sf_dir)
         queries_steal["_section_total"] = _steal_delta(sq0, _steal_ticks())
