@@ -34,6 +34,7 @@ from distributed_web_scrapper_and_crawler_spark.functions.text import (
     tokens_ws,
 )
 from distributed_web_scrapper_and_crawler_spark.operators import ann, dedup
+from distributed_web_scrapper_and_crawler_spark.operators.spread import spread_small_scan
 
 
 @dataclass
@@ -175,21 +176,26 @@ def category_histogram(spark, sf_dir):
     doc="recent-activity feed: two top-10s merged, re-sorted, top-20 (app.py:350-388)",
 )
 def recent_activity(spark, sf_dir):
-    ev = t(spark, sf_dir, "events")
-
-    def top10(kind):
-        return (
-            ev.filter(F.col("event_type") == kind)
-            .orderBy(F.desc("ts"), F.asc("event_id"))
-            .limit(10)
-            .select(
-                F.lit(kind).alias("kind"),
-                F.col("event_id").alias("item_id"),
-                F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
-            )
+    # ONE scan instead of one per kind: a per-kind row_number with a
+    # rank<=10 filter hits Spark's WindowGroupLimit rule, which keeps the
+    # top-10 per kind per scan partition BEFORE the exchange — so the
+    # shuffle moves ~20 rows/partition and the events file is read once.
+    # Row-for-row identical to the old union of two ORDER BY..LIMIT 10
+    # branches: same per-kind ordering (ts desc, event_id asc — total,
+    # deterministic), same final re-sort + top-20.
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type").isin("click", "purchase"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("ts"), F.asc("event_id"))
+    return (
+        ev.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 10)
+        .select(
+            F.col("event_type").alias("kind"),
+            F.col("event_id").alias("item_id"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
         )
-
-    return top10("click").unionByName(top10("purchase")).orderBy(F.desc("ts_str"), F.asc("item_id")).limit(20)
+        .orderBy(F.desc("ts_str"), F.asc("item_id"))
+        .limit(20)
+    )
 
 
 @q(
@@ -227,8 +233,10 @@ def search_documents(spark, sf_dir, query: str, k: int = 10) -> DataFrame:
         hits = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(pat), F.lit(0))).cast("long")
         score = score + hits
         present = present & (hits > 0)
+    # spread: the documents parquet is ONE row group, so the per-doc regex
+    # scoring otherwise serializes on one core (no-op at scale)
     return (
-        t(spark, sf_dir, "documents")
+        spread_small_scan(t(spark, sf_dir, "documents"), "doc_id")
         .select("doc_id", score.alias("score"), present.alias("_p"))
         .filter(F.col("_p"))
         .drop("_p")
@@ -464,8 +472,14 @@ def flagship_q1(spark, sf_dir):
 )
 def topk_per_group(spark, sf_dir):
     w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    # spread: orders is 2 row groups, and Spark's WindowGroupLimit rule
+    # runs a partial top-k sort per SCAN partition before the exchange —
+    # on 2 scan partitions that local sort serializes on 2 of N cores
+    # (the measured bulk of the query). Hash-repartitioning on the unique
+    # key first parallelizes the partial sort; the window result is
+    # unchanged (total order, deterministic tie-break). No-op at scale.
     return (
-        t(spark, sf_dir, "orders")
+        spread_small_scan(t(spark, sf_dir, "orders"), "o_orderkey")
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 3)
         .select("o_orderpriority", "o_orderkey", "o_totalprice", "rk")

@@ -343,6 +343,9 @@ def quality_histogram(spark, sf_dir):
     doc="token counting: whitespace + BPE-ish regex pre-tokenization",
 )
 def token_stats(spark, sf_dir):
+    # NOT spread: measured at sf1.0, repartitioning the single-row-group
+    # scan cost more than the serial regex pass saved (0.17 -> 0.22 s) —
+    # the two token counters are cheap enough that the exchange dominates
     docs = t(spark, sf_dir, "documents")
     nws = F.size(tokens_ws("text"))
     nbpe = F.size(tokens_bpe("text"))

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from distributed_web_scrapper_and_crawler_spark.functions.text import md5_long
+from distributed_web_scrapper_and_crawler_spark.operators.spread import spread_small_scan
 
 
 def _as_double(col: str) -> str:
@@ -50,12 +51,29 @@ def cosine_topk(
 
     (q_id, neighbor_id, score). Score rounded for cross-engine float
     stability; ties broken by neighbor id — fully deterministic.
+
+    Per-pair work is the hot loop (|corpus| x |queries| cosines), so the
+    double-cast and the norm of each side are hoisted OUT of the pair
+    expression (guide §1.2 "per-task work"): the original cosine_expr
+    re-ran 2 array casts + 2 norm aggregates per PAIR — 5 interpreted
+    higher-order evaluations with per-pair array allocations where one
+    (the dot product) suffices. Value-identical: same elementwise ops in
+    the same fold order, norms multiplied in the same (query * corpus)
+    order. The corpus side is also spread (operators/spread.py): the
+    embeddings parquet is one row group, so scoring otherwise runs on
+    ONE core behind the broadcast join.
     """
-    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
-    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    nrm = "sqrt(aggregate(_vd, 0D, (s, v) -> s + v * v))"
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.expr(_as_double(vec_col)).alias("_vd")
+    ).select("q_id", F.col("_vd").alias("_qv"), F.expr(nrm).alias("_qn"))
+    c = spread_small_scan(emb, id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.expr(_as_double(vec_col)).alias("_vd")
+    ).select("neighbor_id", F.col("_vd").alias("_cv"), F.expr(nrm).alias("_cn"))
+    dot = "aggregate(zip_with(_qv, _cv, (x, y) -> x * y), 0D, (s, v) -> s + v)"
     scored = (
         c.join(F.broadcast(q), F.col("q_id") != F.col("neighbor_id"))
-        .withColumn("score", F.round(cosine_expr("q_vec", "c_vec"), round_to))
+        .withColumn("score", F.round(F.expr(f"({dot}) / nullif(_qn * _cn, 0D)"), round_to))
         .select("q_id", "neighbor_id", "score")
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("neighbor_id"))

@@ -31,20 +31,13 @@ from distributed_web_scrapper_and_crawler_spark.functions.text import (
     md5_long,
     tokens_ws,
 )
+from distributed_web_scrapper_and_crawler_spark.operators.spread import spread_small_scan
 
 
 def _spread_small_scan(df: DataFrame) -> DataFrame:
-    """Small-input scan-parallelism guard: a few-MB parquet scan yields 1-4
-    partitions, so the per-shingle hash work downstream would serialize on
-    as many cores until the first exchange (measured 3-8x the whole query
-    wall at sf0.1). Repartitioning the DOCUMENT rows (small) is far cheaper
-    than letting the first exchange move shingle rows (~150x as many).
-    No-op at scale: any real corpus scan already has >= defaultParallelism
-    splits, so no shuffle is added on the 100 TB path."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    """Small-input scan-parallelism guard — see operators/spread.py (the
+    shared implementation; re-exported here for the existing callers)."""
+    return spread_small_scan(df)
 
 
 def _char_ngrams_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
@@ -116,15 +109,29 @@ def ngram_jaccard_pairs(
     shared(a,b) via shingle equi-join; |a ∪ b| = |a| + |b| - shared.
     Returns (a, b, jaccard) with a < b, jaccard rounded to 4 decimals.
     """
-    # materialize the shingle table ONCE, BEFORE the hot-list pass: it
-    # feeds five consumers (the hot-list agg, the anti-join probe, both
-    # self-join sides, the size table) and Catalyst plans no exchange
-    # reuse across them — checkpointing after the hot filter (the round-4
-    # shape) still ran the shingling pipeline twice, once for the hot
-    # list and once for the survivors (measured ~2.3 s/pass at sf0.1;
-    # round-5 ledger, PLANS.md). The real-system analog is writing the
-    # inverted index before the pair-generation pass.
-    sh = shingle_table(df, id_col, text_col, n).localCheckpoint()
+    # materialize the per-doc DISTINCT SHINGLE ARRAYS once, before the
+    # hot-list pass (round-7 reshape of the round-5 "checkpoint the
+    # shingle table" move): the shingle rows feed five consumers (the
+    # hot-list agg, the anti-join probe, both self-join sides, the size
+    # table) and Catalyst plans no exchange reuse across them — but
+    # materializing them EXPLODED wrote one row per (id, shingle)
+    # (13.6M rows at sf1.0, ~2 s to checkpoint, twice). The doc-array
+    # form holds the same strings in corpus-count rows (50k), so the
+    # expensive part (the interpreted array_distinct(transform(...))
+    # shingling HOF, measured 1.5 s of the 3.2 s explode pipeline at
+    # sf1.0) runs once, the checkpoint is small, and each consumer
+    # re-derives rows with a cheap codegen explode. The real-system
+    # analog is writing the inverted index doc-major before the
+    # pair-generation pass.
+    docarr = (
+        _spread_small_scan(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(char_ngrams(text_col, n)).alias("_arr"),
+        )
+        .localCheckpoint()
+    )
+    sh = docarr.select("id", F.explode("_arr").alias("shingle"))
     if max_shingle_df is not None:
         hot = sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_df).select("shingle")
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti").localCheckpoint()
@@ -168,23 +175,76 @@ def ngram_jaccard_pairs(
     return out
 
 
-def minhash_table(df: DataFrame, id_col: str, text_col: str, n_hashes: int = 8, ngram: int = 8) -> DataFrame:
+# Broadcastable distinct-shingle cap for the vocabulary-adaptive minhash
+# path: 1M shingles x (8-char string + n_hashes longs) is a ~100 MB
+# broadcast — the accepted ceiling. Web-scale corpora with open-ended
+# vocabularies exceed it and take the inline-hash path (the scale shape:
+# hashing inline beats shuffling 10^12 occurrence rows through a join).
+_MINHASH_VOCAB_CAP = 1_000_000
+
+
+def minhash_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    ngram: int = 8,
+    vocab_cap: int | None = _MINHASH_VOCAB_CAP,
+) -> DataFrame:
     """(id, h, minhash): k independent minhashes via seed-concat md5 hashing.
 
-    One explode of the shingle OCCURRENCES (no distinct: min over a
-    multiset equals min over the set, and shingle duplication is ~7% on
-    web text — the round-4 ``.distinct()`` cost a full 150x-doc-count
-    string shuffle for nothing), then one groupBy — the per-seed hash
-    is ``md5(concat(seed, '#', shingle))`` so the oracle can reproduce
-    it. The k-way seed explode looks expensive but ISN'T the shuffle: the
-    (id, h) groupBy partial-aggregates map-side, so only k rows per doc
-    hit the wire — and the generator pipeline codegens better than the
-    measured alternatives (k min-aggregate columns + stack unpivot ran
-    5x slower; k min-aggs with direct band-sig projection 1.6x slower;
-    array_min over a transform 3.7x slower — PLANS.md ledger). The whole
-    shingle->hash->partial-agg pipeline is ONE codegen stage off the
-    (repartitioned-if-tiny) document scan: zero shingle-row shuffles."""
+    The per-seed hash is ``md5(concat(seed, '#', shingle))`` so the
+    oracle can reproduce it; min per (id, h) over the doc's shingle
+    occurrences (no distinct needed: min over a multiset equals min over
+    the set).
+
+    Two output-identical execution shapes, chosen by the DISTINCT
+    SHINGLE count (guide §1.2 — fix the algorithm first):
+
+    - vocabulary-small (<= ``vocab_cap``): hash each distinct shingle
+      ONCE — k md5s per VOCABULARY entry instead of per occurrence —
+      and broadcast the (shingle -> k hashes) table back onto the
+      occurrence rows; min-aggregate the k hash columns per doc in one
+      codegen hash-agg keyed on id alone. On repetitive corpora this
+      removes almost all hash work (sf1.0: 13.6k distinct shingles vs
+      14.6M occurrences = 109k md5 calls instead of 116M; measured
+      5.5 s -> ~1.5 s for the minhash stage). The decision costs one
+      cheap pass (partial-distinct collapses tiny vocabularies before
+      the exchange; LocalLimit caps the job when the vocabulary is big).
+    - vocabulary-large (or ``vocab_cap=None``): the round-5 inline
+      shape — seed-explode + md5 per occurrence, one codegen stage into
+      a map-side-combined (id, h) groupBy, zero shingle-row shuffles.
+      k md5s/occurrence beat shuffling 10^12 occurrence rows through a
+      join, and the broadcast would not fit anyway.
+    """
     sh = _char_ngrams_rows(_spread_small_scan(df), id_col, text_col, ngram)
+    if vocab_cap is not None:
+        # materialize (tiny) so the count probe and the hash-table build
+        # don't each re-run the distinct pass; limit caps the job early
+        # on open-vocabulary corpora
+        vocab = sh.select("shingle").distinct().limit(vocab_cap + 1).localCheckpoint()
+        if vocab.count() <= vocab_cap:
+            htbl = vocab.select(
+                "shingle",
+                *[
+                    md5_long(F.concat(F.lit(f"{h}#"), F.col("shingle"))).alias(f"_h{h}")
+                    for h in range(n_hashes)
+                ],
+            )
+            mins = (
+                sh.join(F.broadcast(htbl), "shingle")
+                .groupBy("id")
+                .agg(*[F.min(f"_h{h}").alias(f"_m{h}") for h in range(n_hashes)])
+            )
+            pairs = F.array(
+                *[
+                    F.struct(F.lit(h).alias("h"), F.col(f"_m{h}").alias("minhash"))
+                    for h in range(n_hashes)
+                ]
+            )
+            return mins.select("id", F.explode(pairs).alias("_p")).select(
+                "id", F.col("_p.h").alias("h"), F.col("_p.minhash").alias("minhash")
+            )
     seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("h")
     exploded = sh.select("id", "shingle", seeds)
     hv = md5_long(F.concat_ws("#", F.col("h").cast("string"), F.col("shingle")))
@@ -194,35 +254,62 @@ def minhash_table(df: DataFrame, id_col: str, text_col: str, n_hashes: int = 8, 
 def lsh_candidate_pairs(minhash: DataFrame, bands: int = 4, rows_per_band: int = 2) -> DataFrame:
     """Banded LSH: docs sharing any band signature become candidates.
 
-    band signature = concat of the band's ``rows_per_band`` minhashes;
-    self-join on (band, signature), distinct (a < b) pairs. The bucket
+    Band signature = the band's ``rows_per_band`` minhashes in h order
+    (injective at any rows_per_band); docs pair iff some band's vector
+    matches componentwise. Output: distinct (a < b) pairs. The bucket
     join replaces the cross join — the scale move.
+
+    Execution shape (round-7, guide §2.3/§2.4 — output-identical to the
+    previous band-string self-join + distinct):
+    - ONE wide signature row per doc: groupBy(id) with a conditional-min
+      column per h (pure codegen HashAggregate) replaces the old
+      groupBy(id, band) collect_list + sort_array + concat_ws
+      (ObjectHashAggregate, interpreted sort, per-row string building).
+    - per band, an equi-join of the wide table with itself on that
+      band's MINHASH LONGS (no signature strings built or shuffled —
+      componentwise long equality == string-signature equality because
+      ':'-joined decimal longs are injective).
+    - a pair that matches several bands is emitted ONLY by its first
+      matching band (the join filter requires some earlier-band column
+      to differ), so the union of the per-band joins is distinct by
+      construction and the old 4M+-row global .distinct() exchange+agg
+      disappears (measured 2.25 s of 7.9 at sf1.0). At scale this moves
+      dedup work from pair-space (quadratic in bucket size) to doc-space.
     """
-    # collect_list order is nondeterministic => canonicalize by sorting the
-    # band's (h, minhash) pairs before concatenating. h is unique within a
-    # band, so the signature is injective over the band's hash VECTOR at any
-    # rows_per_band (the earlier sum/min/max combiner was only injective at
-    # rows_per_band=2 and silently collision-merged buckets beyond it).
-    banded = (
-        minhash.withColumn("band", F.floor(F.col("h") / rows_per_band).cast("int"))
-        .groupBy("id", "band")
-        .agg(F.sort_array(F.collect_list(F.struct("h", "minhash"))).alias("_hs"))
-        .withColumn(
-            "sig",
-            F.concat_ws(":", F.transform("_hs", lambda s: s["minhash"].cast("string"))),
+    n_h = bands * rows_per_band
+    wide = (
+        minhash.groupBy("id")
+        .agg(
+            *[
+                F.min(F.when(F.col("h") == h, F.col("minhash"))).alias(f"_s{h}")
+                for h in range(n_h)
+            ]
         )
-        .select("id", "band", "sig")
-        # both self-join sides read this; materialize once (same
+        # every per-band join reads this; materialize once (same
         # no-exchange-reuse rationale as ngram_jaccard_pairs)
         .localCheckpoint()
     )
-    l, r = banded.alias("l"), banded.alias("r")
-    return (
-        l.join(r, ["band", "sig"])
-        .filter(F.col("l.id") < F.col("r.id"))
-        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
-        .distinct()
-    )
+    out = None
+    for b in range(bands):
+        hs = [f"_s{h}" for h in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        l = wide.select(F.col("id").alias("a"), *[F.col(c).alias(f"_l{c}") for c in wide.columns[1:]])
+        r = wide.select(F.col("id").alias("b"), *[F.col(c).alias(f"_r{c}") for c in wide.columns[1:]])
+        cond = F.col("a") < F.col("b")
+        for c in hs:
+            cond = cond & (F.col(f"_l{c}") == F.col(f"_r{c}"))
+        earlier = F.lit(False)
+        for eb in range(b):
+            all_eq = F.lit(True)
+            for h in range(eb * rows_per_band, (eb + 1) * rows_per_band):
+                all_eq = all_eq & (F.col(f"_l_s{h}") == F.col(f"_r_s{h}"))
+            earlier = earlier | all_eq
+        pairs = (
+            l.join(r, [F.col(f"_l{c}") == F.col(f"_r{c}") for c in hs])
+            .filter(cond & ~earlier)
+            .select("a", "b")
+        )
+        out = pairs if out is None else out.unionByName(pairs)
+    return out
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:

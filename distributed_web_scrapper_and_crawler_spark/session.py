@@ -79,6 +79,19 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Scan-split sizing (optimization guide §6 / §1.2). The sf tables
+        # are single parquet files whose row groups are ~20 MB; the 128 MB
+        # default packs a whole file into 1-2 splits, serializing every
+        # scan-heavy query on 1-2 of the N local cores. 16 MB splits let
+        # the reader hand row groups to separate tasks (parallelism is
+        # still row-group-bound — parquet cannot split inside a group).
+        # Parameterised: a real cluster scanning 100 TB of many-file
+        # tables wants LARGER splits (512 MB-1 GB, guide §6) to cut task
+        # count and shuffle block fan-out — set the env accordingly there.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
