@@ -416,7 +416,10 @@ def lsh_near_dup_pairs(
     signature is deterministic md5 math, so a SQL oracle can reproduce
     the EXACT same candidates: the operator's approximation is part of
     its contract, not drift. The resolved count is exposed on the result
-    as ``_lsh_n_planes``.
+    as ``_lsh_n_planes`` — a plain Python attribute that survives ONLY on
+    the immediately returned DataFrame: any further transformation
+    returns a new DataFrame without it (ADVICE r6); read it before
+    chaining, or pass an explicit ``n_planes`` when you need the value.
     """
     n_planes = _resolve_n_planes(emb, n_planes, corpus_count, default_min=8)
     sig = _hyperplane_sig(vec_col, n_planes)
@@ -463,7 +466,9 @@ def lsh_ann_topk(
     count hint keeps the historical floor semantics. The signature is
     computed once per side; the join is a plain equi-join on the bucket
     id — shuffle-partitioned, skew handled by AQE. The resolved count is
-    exposed on the result as ``_lsh_n_planes``.
+    exposed on the result as ``_lsh_n_planes`` — a plain Python attribute
+    that survives ONLY on the immediately returned DataFrame (any further
+    transformation returns a new DataFrame without it, ADVICE r6).
     """
     n_planes = _resolve_n_planes(emb, n_planes, corpus_count, default_min=4)
     sig = _hyperplane_sig(vec_col, n_planes)

@@ -90,18 +90,25 @@ def run_round(
     phase_abs: dict[str, tuple[float, float]] = {}
     _abs = bool(os.environ.get("DWSC_PHASE_ABS"))
 
-    def _mark(name: str, t_start: float) -> None:
-        now = time.monotonic()
-        phase_t[name] = round(now - t_start, 3)
+    # phase starts capture BOTH clocks (ADVICE r6 low): reconstructing the
+    # epoch start from a monotonic delta at mark time mixes clock domains —
+    # NTP slew between start and mark would skew the absolute window that
+    # tools/phase_diag.py intersects with Spark job intervals
+    def _now() -> tuple[float, float]:
+        return (time.monotonic(), time.time() if _abs else 0.0)
+
+    def _mark(name: str, t_start: float | tuple[float, float]) -> None:
+        mono0, epoch0 = t_start if isinstance(t_start, tuple) else (t_start, 0.0)
+        phase_t[name] = round(time.monotonic() - mono0, 3)
         if _abs:
-            phase_abs[name] = (time.time() - (now - t_start), time.time())
+            phase_abs[name] = (epoch0 or time.time() - phase_t[name], time.time())
 
     # exact pending_count is tracked arithmetically — drain detection is
     # free, no claim job needed to discover an empty frontier
     if state.pending_count == 0:
         return RoundResult(state, {}, {"round": rnd, "urls_claimed": 0}, drained=True)
 
-    t = time.monotonic()
+    t = _now()
     claim = claim_batch(state.pending, cfg).cache()
     n_claimed = claim.count()
     _mark("claim", t)
@@ -265,7 +272,7 @@ def run_round(
     # rides along, so the links_found stat costs one tiny job over the
     # (cached, already-unique) result instead of a count over the raw
     # links — extraction now runs exactly once per round.
-    t = time.monotonic()
+    t = _now()
     unique_links = (
         links.groupBy("url_hash", "url")
         .agg(
@@ -325,7 +332,7 @@ def run_round(
     # pass over the dedup pipeline; without the cache every downstream
     # consumer (bloom add, pending/enqueued deltas) re-runs the window +
     # anti-join + probe-UDF chain from scratch.
-    t = time.monotonic()
+    t = _now()
     candidates = new_links.cache()
     new_links, n_new = assign_global_seq(candidates, start=state.max_seq)
     _mark("dedup_seq", t)
@@ -358,12 +365,12 @@ def run_round(
         # Fold from the CACHED pre-seq candidates: the url_hash set is
         # identical to new_links', and reading new_links here would re-run
         # the seq window + offset join once more per round.
-        t = time.monotonic()
+        t = _now()
         add_df_to_filter(bloom, candidates, "url_hash")
         _mark("bloom_add", t)
 
     wall_ms = int((time.monotonic() - t0) * 1000)
-    t = time.monotonic()
+    t = _now()
     n_fetched = (
         fetched.count() if (cfg.collect_stats and cfg.collect_fetch_stats) else -1
     )

@@ -48,10 +48,23 @@ def _steal() -> int:
 def run_level(n_procs: int) -> tuple[float, int]:
     q = mp.Queue()
     s0 = _steal()
-    procs = [mp.Process(target=worker, args=(i, q)) for i in range(n_procs)]
+    # clamp pin targets to the actual affinity mask (ADVICE r6 low: a cpu
+    # id beyond the mask makes sched_setaffinity raise in the worker, and
+    # a bare q.get() would then block forever)
+    avail = sorted(os.sched_getaffinity(0))
+    procs = [
+        mp.Process(target=worker, args=(avail[i % len(avail)], q)) for i in range(n_procs)
+    ]
     for p in procs:
         p.start()
-    rates = [q.get() for _ in procs]
+    rates = []
+    for _ in procs:
+        try:
+            rates.append(q.get(timeout=120))
+        except Exception as ex:  # queue.Empty: a worker died before putting
+            for p in procs:
+                p.terminate()
+            raise RuntimeError(f"membw worker died or timed out: {ex}") from ex
     for p in procs:
         p.join()
     return sum(rates), _steal() - s0

@@ -78,6 +78,13 @@ def run_level(cpus: int, n_docs: int) -> dict:
     # crawl record (incl. per-phase timings) lives in the detail side file
     detail_path = f"/tmp/dwsc_scaling_detail_{cpus}_{os.getpid()}.json"
     env["SPARK_GRAFT_DETAIL_PATH"] = detail_path
+    # stale-detail guard (ADVICE r6 medium): the path is reused across
+    # best-of-N attempts — remove any previous attempt's file so a crashed
+    # bench can never silently return the prior attempt's measurement
+    try:
+        os.remove(detail_path)
+    except FileNotFoundError:
+        pass
     # taskset: local[N] only caps TASK SLOTS — Python UDF workers, GC,
     # JIT and shuffle threads would otherwise spill onto the machine's
     # other idle cores and hand the low level free parallelism. Pinning
@@ -91,6 +98,13 @@ def run_level(cpus: int, n_docs: int) -> dict:
         text=True,
         timeout=3600,
     )
+    if out.returncode != 0:
+        # a crashed bench must abort the attempt loudly, never fall
+        # through to a possibly-present file (ADVICE r6 medium)
+        raise RuntimeError(
+            f"bench.py exited {out.returncode} at local[{cpus}]: "
+            f"{out.stderr.strip().splitlines()[-3:] if out.stderr else '(no stderr)'}"
+        )
     try:
         with open(detail_path) as f:
             return json.load(f)["crawl_best"]
