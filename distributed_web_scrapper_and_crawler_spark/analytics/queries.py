@@ -176,26 +176,27 @@ def category_histogram(spark, sf_dir):
     doc="recent-activity feed: two top-10s merged, re-sorted, top-20 (app.py:350-388)",
 )
 def recent_activity(spark, sf_dir):
-    # ONE scan instead of one per kind: a per-kind row_number with a
-    # rank<=10 filter hits Spark's WindowGroupLimit rule, which keeps the
-    # top-10 per kind per scan partition BEFORE the exchange — so the
-    # shuffle moves ~20 rows/partition and the events file is read once.
-    # Row-for-row identical to the old union of two ORDER BY..LIMIT 10
-    # branches: same per-kind ordering (ts desc, event_id asc — total,
-    # deterministic), same final re-sort + top-20.
-    ev = t(spark, sf_dir, "events").filter(F.col("event_type").isin("click", "purchase"))
-    w = Window.partitionBy("event_type").orderBy(F.desc("ts"), F.asc("event_id"))
-    return (
-        ev.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= 10)
-        .select(
-            F.col("event_type").alias("kind"),
-            F.col("event_id").alias("item_id"),
-            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+    # Round-7 measured negative (PLANS.md ledger): a single-scan per-kind
+    # row_number (WindowGroupLimit) re-read 0.47 s vs 0.39 s for this
+    # two-branch shape at sf1.0 — each branch's ORDER BY..LIMIT 10 plans
+    # as TakeOrderedAndProject (per-partition top-10 + driver merge, NO
+    # exchange), and the second scan of the page-cached file is cheaper
+    # than the window's exchange+sort. Kept as-is.
+    ev = t(spark, sf_dir, "events")
+
+    def top10(kind):
+        return (
+            ev.filter(F.col("event_type") == kind)
+            .orderBy(F.desc("ts"), F.asc("event_id"))
+            .limit(10)
+            .select(
+                F.lit(kind).alias("kind"),
+                F.col("event_id").alias("item_id"),
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+            )
         )
-        .orderBy(F.desc("ts_str"), F.asc("item_id"))
-        .limit(20)
-    )
+
+    return top10("click").unionByName(top10("purchase")).orderBy(F.desc("ts_str"), F.asc("item_id")).limit(20)
 
 
 @q(

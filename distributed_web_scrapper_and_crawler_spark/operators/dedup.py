@@ -195,6 +195,26 @@ def ngram_jaccard_pairs(
 # hashing inline beats shuffling 10^12 occurrence rows through a join).
 _MINHASH_VOCAB_CAP = 1_000_000
 
+# Input-size floor for the vocabulary probe: below ~2 MB of document
+# bytes the probe's fixed structure (one distinct pass + checkpoint +
+# broadcast build, ~0.5 s of extra jobs) exceeds what inline hashing
+# costs outright (measured at sf0.1: vocab 1.69 s vs inline 1.20 s,
+# while sf1.0 reads vocab 2.4 s vs inline 5.5 s — breakeven ~sf0.3).
+# Free to evaluate: Catalyst's sizeInBytes estimate, no job.
+_MINHASH_VOCAB_MIN_BYTES = 2 * 1024 * 1024
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's sizeInBytes estimate for ``df`` (driver-side, no job;
+    ~file size for a parquet scan). Used ONLY for execution-strategy
+    choice — both strategies are output-identical — so a bad estimate
+    costs time, never correctness. Returns a huge sentinel on failure so
+    estimation errors lean toward the at-scale shape."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return 1 << 60
+
 
 def minhash_table(
     df: DataFrame,
@@ -203,6 +223,7 @@ def minhash_table(
     n_hashes: int = 8,
     ngram: int = 8,
     vocab_cap: int | None = _MINHASH_VOCAB_CAP,
+    vocab_min_bytes: int = _MINHASH_VOCAB_MIN_BYTES,
 ) -> DataFrame:
     """(id, h, minhash): k independent minhashes via seed-concat md5 hashing.
 
@@ -213,6 +234,12 @@ def minhash_table(
 
     Two output-identical execution shapes, chosen by the DISTINCT
     SHINGLE count (guide §1.2 — fix the algorithm first):
+
+    The vocabulary probe only runs when the input's Catalyst size
+    estimate reaches ``vocab_min_bytes`` (~sf0.3 of documents): below
+    that the probe's fixed structure costs more than inline hashing
+    outright (measured negative at sf0.1 — PLANS.md r7 ledger), so tiny
+    inputs go straight to the inline shape.
 
     - vocabulary-small (<= ``vocab_cap``): hash each distinct shingle
       ONCE — k md5s per VOCABULARY entry instead of per occurrence —
@@ -231,7 +258,7 @@ def minhash_table(
       join, and the broadcast would not fit anyway.
     """
     sh = _char_ngrams_rows(_spread_small_scan(df), id_col, text_col, ngram)
-    if vocab_cap is not None:
+    if vocab_cap is not None and _plan_size_bytes(df) >= vocab_min_bytes:
         # materialize (tiny) so the count probe and the hash-table build
         # don't each re-run the distinct pass; limit caps the job early
         # on open-vocabulary corpora
@@ -264,7 +291,20 @@ def minhash_table(
     return exploded.withColumn("hv", hv).groupBy("id", "h").agg(F.min("hv").alias("minhash"))
 
 
-def lsh_candidate_pairs(minhash: DataFrame, bands: int = 4, rows_per_band: int = 2) -> DataFrame:
+# Below this many docs the single-join + distinct tail wins: the pair
+# table is small enough that its distinct exchange is cheap, while the
+# per-band join union pays ~bands extra job launches (measured at
+# sf0.1/5k docs: union 1.63 s vs single-join 1.20 s; at sf1.0/50k docs
+# the 4.2M-pair distinct costs 2.25 s and the union wins by ~1.4 s).
+_BAND_UNION_MIN_DOCS = 20_000
+
+
+def lsh_candidate_pairs(
+    minhash: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    band_union_min_docs: int = _BAND_UNION_MIN_DOCS,
+) -> DataFrame:
     """Banded LSH: docs sharing any band signature become candidates.
 
     Band signature = the band's ``rows_per_band`` minhashes in h order
@@ -278,16 +318,19 @@ def lsh_candidate_pairs(minhash: DataFrame, bands: int = 4, rows_per_band: int =
       column per h (pure codegen HashAggregate) replaces the old
       groupBy(id, band) collect_list + sort_array + concat_ws
       (ObjectHashAggregate, interpreted sort, per-row string building).
-    - per band, an equi-join of the wide table with itself on that
-      band's MINHASH LONGS (no signature strings built or shuffled —
-      componentwise long equality == string-signature equality because
-      ':'-joined decimal longs are injective).
-    - a pair that matches several bands is emitted ONLY by its first
-      matching band (the join filter requires some earlier-band column
-      to differ), so the union of the per-band joins is distinct by
-      construction and the old 4M+-row global .distinct() exchange+agg
-      disappears (measured 2.25 s of 7.9 at sf1.0). At scale this moves
-      dedup work from pair-space (quadratic in bucket size) to doc-space.
+      No signature strings are built or shuffled — componentwise long
+      equality == string-signature equality (':'-joined decimal longs
+      are injective).
+    - the pair-generation tail is SIZE-ADAPTIVE (the checkpoint makes
+      the doc count free to read): small corpora take one self-join on
+      exploded (band, minhash-vector) rows + distinct (fewest job
+      launches); past ``band_union_min_docs`` the tail becomes one
+      equi-join PER BAND where a pair is emitted only by its first
+      matching band (the join filter requires an earlier-band column to
+      differ), so the union is distinct by construction and the
+      pair-table-sized .distinct() exchange disappears (2.25 s over
+      4.2M pairs at sf1.0). At scale this moves dedup work from
+      pair-space (quadratic in bucket size) to doc-space.
     """
     n_h = bands * rows_per_band
     wide = (
@@ -298,10 +341,35 @@ def lsh_candidate_pairs(minhash: DataFrame, bands: int = 4, rows_per_band: int =
                 for h in range(n_h)
             ]
         )
-        # every per-band join reads this; materialize once (same
-        # no-exchange-reuse rationale as ngram_jaccard_pairs)
+        # every tail below reads this at least twice; materialize once
+        # (same no-exchange-reuse rationale as ngram_jaccard_pairs)
         .localCheckpoint()
     )
+    if wide.count() < band_union_min_docs:
+        # small tail: one self-join on the band's minhash vector, pairs
+        # deduped with a (cheap at this size) distinct
+        bands_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    *[
+                        F.col(f"_s{b * rows_per_band + j}").alias(f"k{j}")
+                        for j in range(rows_per_band)
+                    ],
+                )
+                for b in range(bands)
+            ]
+        )
+        keys = ["band"] + [f"k{j}" for j in range(rows_per_band)]
+        banded = wide.select("id", F.explode(bands_arr).alias("_b")).select("id", "_b.*")
+        l = banded.select(F.col("id").alias("a"), *keys)
+        r = banded.select(F.col("id").alias("b"), *keys)
+        return (
+            l.join(r, keys)
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
     out = None
     for b in range(bands):
         hs = [f"_s{h}" for h in range(b * rows_per_band, (b + 1) * rows_per_band)]

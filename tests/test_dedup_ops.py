@@ -293,12 +293,19 @@ def test_minhash_vocab_path_equals_inline_path(spark):
             (9, "zz"),  # shorter than the gram => single short shingle
         ],
     )
-    via_vocab = dedup.minhash_table(df, "doc_id", "text", n_hashes=8, ngram=8, vocab_cap=10_000)
+    via_vocab = dedup.minhash_table(
+        df, "doc_id", "text", n_hashes=8, ngram=8, vocab_cap=10_000, vocab_min_bytes=0
+    )
     inline = dedup.minhash_table(df, "doc_id", "text", n_hashes=8, ngram=8, vocab_cap=None)
     assert sorted(map(tuple, via_vocab.collect())) == sorted(map(tuple, inline.collect()))
     # a cap below the true vocabulary falls back to the inline path
-    fallback = dedup.minhash_table(df, "doc_id", "text", n_hashes=8, ngram=8, vocab_cap=3)
+    fallback = dedup.minhash_table(
+        df, "doc_id", "text", n_hashes=8, ngram=8, vocab_cap=3, vocab_min_bytes=0
+    )
     assert sorted(map(tuple, fallback.collect())) == sorted(map(tuple, inline.collect()))
+    # below the size gate the probe is skipped entirely (inline shape)
+    gated = dedup.minhash_table(df, "doc_id", "text", n_hashes=8, ngram=8)
+    assert sorted(map(tuple, gated.collect())) == sorted(map(tuple, inline.collect()))
 
 
 def test_lsh_band_union_matches_distinct_reference(spark):
@@ -315,8 +322,17 @@ def test_lsh_band_union_matches_distinct_reference(spark):
     ]
     df = _docs(spark, rows)
     mh = dedup.minhash_table(df, "doc_id", "text", n_hashes=8, ngram=8)
-    got = sorted((r["a"], r["b"]) for r in dedup.lsh_candidate_pairs(mh, 4, 2).collect())
+    # band_union_min_docs=0 forces the per-band union tail (a micro-table
+    # would otherwise take the small single-join tail)
+    got = sorted(
+        (r["a"], r["b"])
+        for r in dedup.lsh_candidate_pairs(mh, 4, 2, band_union_min_docs=0).collect()
+    )
     assert len(got) == len(set(got)), "pairs must be distinct by construction"
+    small_tail = sorted(
+        (r["a"], r["b"]) for r in dedup.lsh_candidate_pairs(mh, 4, 2).collect()
+    )
+    assert got == small_tail, "size-adaptive tails must agree"
     sigs = {}
     for r in mh.collect():
         sigs.setdefault(r["id"], {})[r["h"]] = r["minhash"]
