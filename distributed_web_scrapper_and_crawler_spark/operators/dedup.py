@@ -312,6 +312,12 @@ def lsh_candidate_pairs(
     matches componentwise. Output: distinct (a < b) pairs. The bucket
     join replaces the cross join — the scale move.
 
+    Contract: ``minhash`` holds exactly h = 0 .. bands*rows_per_band - 1
+    per id (i.e. it was built with n_hashes == bands * rows_per_band —
+    every registry caller and the SQL oracles satisfy this). Rows with h
+    outside that range would be silently ignored (the pre-round-7 code
+    derived extra bands from them instead).
+
     Execution shape (round-7, guide §2.3/§2.4 — output-identical to the
     previous band-string self-join + distinct):
     - ONE wide signature row per doc: groupBy(id) with a conditional-min
