@@ -291,19 +291,10 @@ def minhash_table(
     return exploded.withColumn("hv", hv).groupBy("id", "h").agg(F.min("hv").alias("minhash"))
 
 
-# Below this many docs the single-join + distinct tail wins: the pair
-# table is small enough that its distinct exchange is cheap, while the
-# per-band join union pays ~bands extra job launches (measured at
-# sf0.1/5k docs: union 1.63 s vs single-join 1.20 s; at sf1.0/50k docs
-# the 4.2M-pair distinct costs 2.25 s and the union wins by ~1.4 s).
-_BAND_UNION_MIN_DOCS = 20_000
-
-
 def lsh_candidate_pairs(
     minhash: DataFrame,
     bands: int = 4,
     rows_per_band: int = 2,
-    band_union_min_docs: int = _BAND_UNION_MIN_DOCS,
 ) -> DataFrame:
     """Banded LSH: docs sharing any band signature become candidates.
 
@@ -327,16 +318,17 @@ def lsh_candidate_pairs(
       No signature strings are built or shuffled — componentwise long
       equality == string-signature equality (':'-joined decimal longs
       are injective).
-    - the pair-generation tail is SIZE-ADAPTIVE (the checkpoint makes
-      the doc count free to read): small corpora take one self-join on
-      exploded (band, minhash-vector) rows + distinct (fewest job
-      launches); past ``band_union_min_docs`` the tail becomes one
-      equi-join PER BAND where a pair is emitted only by its first
-      matching band (the join filter requires an earlier-band column to
-      differ), so the union is distinct by construction and the
-      pair-table-sized .distinct() exchange disappears (2.25 s over
-      4.2M pairs at sf1.0). At scale this moves dedup work from
-      pair-space (quadratic in bucket size) to doc-space.
+    - ONE self-join on exploded (band, band-keys) rows with the full
+      signature vector riding along: a pair is emitted ONLY at its
+      first matching band (per-row predicate "no earlier band with a
+      lower index also matches"), so the output is distinct BY
+      CONSTRUCTION and the pair-table-sized .distinct() exchange of the
+      pre-round-7 shape disappears (2.25 s over 4.2M pairs at sf1.0).
+      At scale this moves dedup work from pair-space (quadratic in
+      bucket size) to doc-space; at small scale it is a wash vs
+      join+distinct (measured 1.22 vs 1.20 s at sf0.1), so one shape
+      serves every size — which also means the sf0.01 driver
+      correctness gate exercises exactly the plan that runs at sf1.0.
     """
     n_h = bands * rows_per_band
     wide = (
@@ -347,56 +339,51 @@ def lsh_candidate_pairs(
                 for h in range(n_h)
             ]
         )
-        # every tail below reads this at least twice; materialize once
-        # (same no-exchange-reuse rationale as ngram_jaccard_pairs)
+        # both self-join sides read this; materialize once (same
+        # no-exchange-reuse rationale as ngram_jaccard_pairs)
         .localCheckpoint()
     )
-    if wide.count() < band_union_min_docs:
-        # small tail: one self-join on the band's minhash vector, pairs
-        # deduped with a (cheap at this size) distinct
-        bands_arr = F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    *[
-                        F.col(f"_s{b * rows_per_band + j}").alias(f"k{j}")
-                        for j in range(rows_per_band)
-                    ],
-                )
-                for b in range(bands)
-            ]
-        )
-        keys = ["band"] + [f"k{j}" for j in range(rows_per_band)]
-        banded = wide.select("id", F.explode(bands_arr).alias("_b")).select("id", "_b.*")
-        l = banded.select(F.col("id").alias("a"), *keys)
-        r = banded.select(F.col("id").alias("b"), *keys)
-        return (
-            l.join(r, keys)
-            .filter(F.col("a") < F.col("b"))
-            .select("a", "b")
-            .distinct()
-        )
-    out = None
-    for b in range(bands):
-        hs = [f"_s{h}" for h in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        l = wide.select(F.col("id").alias("a"), *[F.col(c).alias(f"_l{c}") for c in wide.columns[1:]])
-        r = wide.select(F.col("id").alias("b"), *[F.col(c).alias(f"_r{c}") for c in wide.columns[1:]])
-        cond = F.col("a") < F.col("b")
-        for c in hs:
-            cond = cond & (F.col(f"_l{c}") == F.col(f"_r{c}"))
-        earlier = F.lit(False)
-        for eb in range(b):
-            all_eq = F.lit(True)
-            for h in range(eb * rows_per_band, (eb + 1) * rows_per_band):
-                all_eq = all_eq & (F.col(f"_l_s{h}") == F.col(f"_r_s{h}"))
-            earlier = earlier | all_eq
-        pairs = (
-            l.join(r, [F.col(f"_l{c}") == F.col(f"_r{c}") for c in hs])
-            .filter(cond & ~earlier)
-            .select("a", "b")
-        )
-        out = pairs if out is None else out.unionByName(pairs)
-    return out
+    # ONE self-join on exploded (band, band-keys) rows with the FULL
+    # signature vector riding along, so "emitted only by the first
+    # matching band" is a per-row predicate — distinct by construction,
+    # no pair-table exchange, and a single generated join class (a
+    # per-band join union variant compiled `bands` separate codegen
+    # classes and paid a job launch per band — measured slower at both
+    # scales; PLANS.md r7 ledger).
+    vec = [f"_s{h}" for h in range(n_h)]
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                *[
+                    F.col(f"_s{b * rows_per_band + j}").alias(f"k{j}")
+                    for j in range(rows_per_band)
+                ],
+            )
+            for b in range(bands)
+        ]
+    )
+    keys = ["band"] + [f"k{j}" for j in range(rows_per_band)]
+    banded = wide.select("id", *vec, F.explode(bands_arr).alias("_b")).select("id", *vec, "_b.*")
+    l = banded.select(
+        F.col("id").alias("a"), *keys, *[F.col(c).alias(f"_l{c}") for c in vec]
+    )
+    r = banded.select(
+        F.col("id").alias("b"), *[F.col(k).alias(f"_r{k}") for k in keys],
+        *[F.col(c).alias(f"_r{c}") for c in vec],
+    )
+    on = [F.col(k) == F.col(f"_r{k}") for k in keys]
+    earlier = F.lit(False)
+    for eb in range(bands - 1):
+        all_eq = F.lit(True)
+        for h in range(eb * rows_per_band, (eb + 1) * rows_per_band):
+            all_eq = all_eq & (F.col(f"_l_s{h}") == F.col(f"_r_s{h}"))
+        earlier = earlier | ((F.col("band") > eb) & all_eq)
+    return (
+        l.join(r, on)
+        .filter((F.col("a") < F.col("b")) & ~earlier)
+        .select("a", "b")
+    )
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:

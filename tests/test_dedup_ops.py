@@ -322,17 +322,8 @@ def test_lsh_band_union_matches_distinct_reference(spark):
     ]
     df = _docs(spark, rows)
     mh = dedup.minhash_table(df, "doc_id", "text", n_hashes=8, ngram=8)
-    # band_union_min_docs=0 forces the per-band union tail (a micro-table
-    # would otherwise take the small single-join tail)
-    got = sorted(
-        (r["a"], r["b"])
-        for r in dedup.lsh_candidate_pairs(mh, 4, 2, band_union_min_docs=0).collect()
-    )
+    got = sorted((r["a"], r["b"]) for r in dedup.lsh_candidate_pairs(mh, 4, 2).collect())
     assert len(got) == len(set(got)), "pairs must be distinct by construction"
-    small_tail = sorted(
-        (r["a"], r["b"]) for r in dedup.lsh_candidate_pairs(mh, 4, 2).collect()
-    )
-    assert got == small_tail, "size-adaptive tails must agree"
     sigs = {}
     for r in mh.collect():
         sigs.setdefault(r["id"], {})[r["h"]] = r["minhash"]
