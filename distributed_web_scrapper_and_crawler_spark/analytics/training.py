@@ -90,7 +90,12 @@ def _lsh_oracle_sql(rows_per_band: int) -> str:
     doc="MinHash-LSH: banded signatures -> bucket self-join (no cross join)",
 )
 def lsh_candidate_pairs(spark, sf_dir):
-    mh = dedup.minhash_table(t(spark, sf_dir, "documents"), "doc_id", "text", n_hashes=8, ngram=8)
+    # shape="wide": lsh consumes the per-doc signature table directly,
+    # skipping the explode + re-pivot roundtrip (one less generated
+    # stage; ~0.2 s at sf1.0). Signatures identical either way.
+    mh = dedup.minhash_table(
+        t(spark, sf_dir, "documents"), "doc_id", "text", n_hashes=8, ngram=8, shape="wide"
+    )
     return dedup.lsh_candidate_pairs(mh, bands=4, rows_per_band=2).orderBy("a", "b")
 
 
@@ -105,7 +110,9 @@ def lsh_candidate_pairs(spark, sf_dir):
     pytest_gated=True,
 )
 def lsh_candidate_pairs_b2r4(spark, sf_dir):
-    mh = dedup.minhash_table(t(spark, sf_dir, "documents"), "doc_id", "text", n_hashes=8, ngram=8)
+    mh = dedup.minhash_table(
+        t(spark, sf_dir, "documents"), "doc_id", "text", n_hashes=8, ngram=8, shape="wide"
+    )
     return dedup.lsh_candidate_pairs(mh, bands=2, rows_per_band=4).orderBy("a", "b")
 
 

@@ -224,8 +224,16 @@ def minhash_table(
     ngram: int = 8,
     vocab_cap: int | None = _MINHASH_VOCAB_CAP,
     vocab_min_bytes: int = _MINHASH_VOCAB_MIN_BYTES,
+    shape: str = "long",
 ) -> DataFrame:
     """(id, h, minhash): k independent minhashes via seed-concat md5 hashing.
+
+    ``shape="wide"`` returns the SAME signatures as one row per doc —
+    (id, _s0 .. _s{k-1}) with _sh = the h-th minhash — for consumers
+    that immediately re-pivot the long table anyway (lsh_candidate_pairs
+    accepts it directly): the vocab path produces wide natively, so
+    skipping the explode + re-aggregate roundtrip saves a generated
+    stage and ~0.2 s at sf1.0.
 
     The per-seed hash is ``md5(concat(seed, '#', shingle))`` so the
     oracle can reproduce it; min per (id, h) over the doc's shingle
@@ -257,6 +265,8 @@ def minhash_table(
       k md5s/occurrence beat shuffling 10^12 occurrence rows through a
       join, and the broadcast would not fit anyway.
     """
+    if shape not in ("long", "wide"):
+        raise ValueError(f"minhash_table: unknown shape {shape!r}")
     sh = _char_ngrams_rows(_spread_small_scan(df), id_col, text_col, ngram)
     if vocab_cap is not None and _plan_size_bytes(df) >= vocab_min_bytes:
         # materialize (tiny) so the count probe and the hash-table build
@@ -274,11 +284,13 @@ def minhash_table(
             mins = (
                 sh.join(F.broadcast(htbl), "shingle")
                 .groupBy("id")
-                .agg(*[F.min(f"_h{h}").alias(f"_m{h}") for h in range(n_hashes)])
+                .agg(*[F.min(f"_h{h}").alias(f"_s{h}") for h in range(n_hashes)])
             )
+            if shape == "wide":
+                return mins
             pairs = F.array(
                 *[
-                    F.struct(F.lit(h).alias("h"), F.col(f"_m{h}").alias("minhash"))
+                    F.struct(F.lit(h).alias("h"), F.col(f"_s{h}").alias("minhash"))
                     for h in range(n_hashes)
                 ]
             )
@@ -288,7 +300,19 @@ def minhash_table(
     seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("h")
     exploded = sh.select("id", "shingle", seeds)
     hv = md5_long(F.concat_ws("#", F.col("h").cast("string"), F.col("shingle")))
-    return exploded.withColumn("hv", hv).groupBy("id", "h").agg(F.min("hv").alias("minhash"))
+    long = exploded.withColumn("hv", hv).groupBy("id", "h").agg(F.min("hv").alias("minhash"))
+    if shape == "wide":
+        return _minhash_pivot(long, n_hashes)
+    return long
+
+
+def _minhash_pivot(minhash: DataFrame, n_h: int) -> DataFrame:
+    """(id, h, minhash) -> (id, _s0.._s{n_h-1}) via conditional mins —
+    pure codegen HashAggregate, shared by minhash_table(shape='wide')
+    and lsh_candidate_pairs."""
+    return minhash.groupBy("id").agg(
+        *[F.min(F.when(F.col("h") == h, F.col("minhash"))).alias(f"_s{h}") for h in range(n_h)]
+    )
 
 
 def lsh_candidate_pairs(
@@ -307,7 +331,9 @@ def lsh_candidate_pairs(
     per id (i.e. it was built with n_hashes == bands * rows_per_band —
     every registry caller and the SQL oracles satisfy this). Rows with h
     outside that range would be silently ignored (the pre-round-7 code
-    derived extra bands from them instead).
+    derived extra bands from them instead). ``minhash`` may be either
+    the long (id, h, minhash) table or minhash_table's ``shape="wide"``
+    output — the wide form skips the re-pivot here.
 
     Execution shape (round-7, guide §2.3/§2.4 — output-identical to the
     previous band-string self-join + distinct):
@@ -331,18 +357,13 @@ def lsh_candidate_pairs(
       correctness gate exercises exactly the plan that runs at sf1.0.
     """
     n_h = bands * rows_per_band
-    wide = (
-        minhash.groupBy("id")
-        .agg(
-            *[
-                F.min(F.when(F.col("h") == h, F.col("minhash"))).alias(f"_s{h}")
-                for h in range(n_h)
-            ]
-        )
-        # both self-join sides read this; materialize once (same
-        # no-exchange-reuse rationale as ngram_jaccard_pairs)
-        .localCheckpoint()
-    )
+    if set(minhash.columns) == {"id", *(f"_s{h}" for h in range(n_h))}:
+        wide = minhash  # already the wide signature table
+    else:
+        wide = _minhash_pivot(minhash, n_h)
+    # both self-join sides read this; materialize once (same
+    # no-exchange-reuse rationale as ngram_jaccard_pairs)
+    wide = wide.localCheckpoint()
     # ONE self-join on exploded (band, band-keys) rows with the FULL
     # signature vector riding along, so "emitted only by the first
     # matching band" is a per-row predicate — distinct by construction,

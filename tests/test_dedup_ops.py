@@ -353,3 +353,24 @@ def test_ngram_sizes_join_flips_to_shuffle_at_scale_hint(spark):
     assert "ShuffledHashJoin" in plan, "sizes join did not flip to shuffle_hash at the 10^10 hint"
     base_plan = base._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in base_plan
+
+
+def test_minhash_wide_shape_matches_long(spark):
+    """shape='wide' must hold exactly the long table's signatures, one
+    row per doc, in h-column order — on both execution paths."""
+    df = _docs(
+        spark,
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"), (5, "other words entirely")],
+    )
+    for kw in ({"vocab_cap": 10_000, "vocab_min_bytes": 0}, {"vocab_cap": None}):
+        long = dedup.minhash_table(df, "doc_id", "text", n_hashes=8, ngram=8, **kw)
+        wide = dedup.minhash_table(df, "doc_id", "text", n_hashes=8, ngram=8, shape="wide", **kw)
+        sigs = {(r["id"], r["h"]): r["minhash"] for r in long.collect()}
+        for r in wide.collect():
+            for h in range(8):
+                assert r[f"_s{h}"] == sigs[(r["id"], h)]
+        assert wide.count() == 3
+        # lsh accepts the wide form directly and agrees with the long form
+        a = sorted(map(tuple, dedup.lsh_candidate_pairs(long, 4, 2).collect()))
+        b = sorted(map(tuple, dedup.lsh_candidate_pairs(wide, 4, 2).collect()))
+        assert a == b
